@@ -1,0 +1,142 @@
+"""Multi-scale deformable attention (MSDA) — XLA implementation + dispatch.
+
+Capability match: the ``ape._C`` CUDA op and its pure fallback
+(/root/reference/ape/layers/csrc/MsDeformAttn/*, ape/layers/multi_scale_deform_attn.py:84-124).
+Semantics are bilinear sampling with ``align_corners=False`` and zero padding:
+pixel coordinate = ``loc * size - 0.5``; out-of-range corners contribute zero.
+
+TPU-first design
+----------------
+Unlike the CUDA scatter/gather kernel, the default path here is a *vectorized XLA
+gather formulation*: per level, the four bilinear corners are fetched with
+``take_along_axis`` over the flattened (H*W) axis and reduced with the fused
+attention×bilinear weights. XLA keeps everything on the VPU and fuses the weight
+math; query chunking bounds the gather temporary so peak memory stays flat at the
+87k-token encoder scale. A Pallas kernel (ops/msda_pallas.py) covers the
+hottest configuration; this module is also its correctness oracle and its VJP is
+plain autodiff (gathers transpose to scatter-adds natively in XLA).
+
+Conventions (batch-first everywhere):
+  value:              (B, S, H, D)   S = sum(H_l * W_l)
+  spatial_shapes:     static tuple ((H_0, W_0), ...) — Python ints, not traced
+  sampling_locations: (B, Q, H, L, P, 2)  normalized [0,1], last dim (x, y)
+  attention_weights:  (B, Q, H, L, P)     softmax-normalized over (L, P)
+  returns:            (B, Q, H * D)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def level_start_index(spatial_shapes: Sequence[Tuple[int, int]]):
+    """Static start offsets of each level in the flattened token axis."""
+    starts = [0]
+    for h, w in spatial_shapes:
+        starts.append(starts[-1] + h * w)
+    return tuple(starts[:-1]), starts[-1]
+
+
+def _sample_level(
+    value_l: jnp.ndarray,  # (B, HW, H, D)
+    loc_l: jnp.ndarray,  # (B, Q, H, P, 2) in [0, 1], (x, y)
+    w_l: jnp.ndarray,  # (B, Q, H, P)
+    height: int,
+    width: int,
+) -> jnp.ndarray:
+    """Weighted bilinear samples of one level, reduced over points -> (B, Q, H, D)."""
+    x = loc_l[..., 0] * width - 0.5  # (B, Q, H, P)
+    y = loc_l[..., 1] * height - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0  # fractional parts
+    fy = y - y0
+    ix0 = x0.astype(jnp.int32)
+    iy0 = y0.astype(jnp.int32)
+
+    out = None
+    for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1)):
+        ix = ix0 + dx
+        iy = iy0 + dy
+        valid = (ix >= 0) & (ix < width) & (iy >= 0) & (iy < height)
+        cw = (fx if dx else 1.0 - fx) * (fy if dy else 1.0 - fy)
+        cw = jnp.where(valid, cw * w_l, 0.0)  # fold attention weight in
+        lin = jnp.clip(iy, 0, height - 1) * width + jnp.clip(ix, 0, width - 1)
+        # gather rows: value_l (B, HW, H, D), lin (B, Q, H, P)
+        b, q, h, p = lin.shape
+        idx = lin.transpose(0, 1, 3, 2).reshape(b, q * p, h)[..., None]  # P as extra queries
+        g = jnp.take_along_axis(
+            value_l, idx, axis=1
+        )  # (B, Q*P, H, D)
+        g = g.reshape(b, q, p, h, -1).transpose(0, 1, 3, 2, 4)  # (B, Q, H, P, D)
+        contrib = jnp.sum(g * cw[..., None].astype(g.dtype), axis=3)  # (B, Q, H, D)
+        out = contrib if out is None else out + contrib
+    return out
+
+
+def ms_deform_attn(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+    query_chunk: int | None = None,
+) -> jnp.ndarray:
+    """XLA multi-scale deformable attention. See module docstring for shapes.
+
+    query_chunk: if set, process queries in chunks of this size via lax.map to
+    bound the gather temporaries (used at encoder scale, Q ≈ 87k).
+    """
+    spatial_shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
+    b, s, h, d = value.shape
+    _, q, _, l, p, _ = sampling_locations.shape
+    starts, total = level_start_index(spatial_shapes)
+    assert total == s, f"value length {s} != sum of levels {total}"
+    assert l == len(spatial_shapes)
+
+    def run(loc, w):
+        out = jnp.zeros((b, loc.shape[1], h, d), dtype=value.dtype)
+        for lvl, (hh, ww) in enumerate(spatial_shapes):
+            value_l = jax.lax.dynamic_slice_in_dim(value, starts[lvl], hh * ww, axis=1)
+            out = out + _sample_level(
+                value_l, loc[:, :, :, lvl], w[:, :, :, lvl], hh, ww
+            )
+        return out
+
+    if query_chunk is None or q <= query_chunk:
+        out = run(sampling_locations, attention_weights)
+    else:
+        assert q % query_chunk == 0, (q, query_chunk)
+        n = q // query_chunk
+        loc_c = sampling_locations.reshape(b, n, query_chunk, h, l, p, 2)
+        w_c = attention_weights.reshape(b, n, query_chunk, h, l, p)
+        out = jax.lax.map(
+            lambda args: run(*args),
+            (loc_c.transpose(1, 0, 2, 3, 4, 5, 6), w_c.transpose(1, 0, 2, 3, 4, 5)),
+        )  # (n, B, qc, H, D)
+        out = out.transpose(1, 0, 2, 3, 4).reshape(b, q, h, d)
+    return out.reshape(b, q, h * d)
+
+
+@functools.partial(jax.jit, static_argnames=("spatial_shapes", "query_chunk", "impl"))
+def ms_deform_attn_jit(
+    value,
+    spatial_shapes,
+    sampling_locations,
+    attention_weights,
+    query_chunk=None,
+    impl="xla",
+):
+    """jitted entry with implementation dispatch ("xla" | "pallas")."""
+    if impl == "pallas":
+        from ape_tpu.ops.msda_pallas import ms_deform_attn_pallas
+
+        return ms_deform_attn_pallas(
+            value, spatial_shapes, sampling_locations, attention_weights
+        )
+    return ms_deform_attn(
+        value, spatial_shapes, sampling_locations, attention_weights, query_chunk
+    )

@@ -1,0 +1,32 @@
+"""Test environment: force CPU with 8 virtual devices.
+
+Multi-chip sharding is validated on a virtual 8-device CPU mesh (the driver's
+dryrun_multichip uses the same mechanism). The environment may pre-initialize a
+TPU backend at interpreter start (sitecustomize), so we clear backends and
+re-point JAX at CPU here, before any test touches jax.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax._src.xla_bridge._clear_backends()
+except Exception:
+    pass
+assert jax.default_backend() == "cpu"
+assert len(jax.devices()) == 8, jax.devices()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
