@@ -1,0 +1,52 @@
+"""Pallas window-MSDA kernel vs the XLA window reference (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from ape_tpu.ops.msda_window import ms_deform_attn_window
+from ape_tpu.ops.msda_window_pallas import ms_deform_attn_window_pallas
+
+
+def make_inputs(rng, b=1, heads=2, d=8, spatial_shapes=((16, 16), (8, 8), (4, 4)), p=2, max_off=3.0):
+    s = sum(hh * ww for hh, ww in spatial_shapes)
+    l = len(spatial_shapes)
+    value = rng.randn(b, s, heads, d).astype(np.float32)
+    off = rng.uniform(-max_off, max_off, size=(b, s, heads, l, p, 2)).astype(np.float32)
+    w = rng.rand(b, s, heads, l, p).astype(np.float32)
+    w /= w.reshape(b, s, heads, -1).sum(-1)[..., None, None]
+    return value, off, w
+
+
+@pytest.mark.parametrize(
+    "spatial_shapes,radius",
+    [
+        (((16, 16), (8, 8), (4, 4)), 2),
+        (((16, 16),), 4),
+        (((32, 32), (16, 16), (8, 8), (4, 4), (2, 2)), 2),
+    ],
+)
+def test_pallas_matches_xla_window(rng, spatial_shapes, radius):
+    value, off, w = make_inputs(rng, spatial_shapes=spatial_shapes, max_off=radius + 2)
+    ref = ms_deform_attn_window(
+        jnp.asarray(value), spatial_shapes, jnp.asarray(off), jnp.asarray(w), radius=radius
+    )
+    out = ms_deform_attn_window_pallas(
+        jnp.asarray(value), spatial_shapes, jnp.asarray(off), jnp.asarray(w),
+        radius=radius, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_batch2(rng):
+    spatial_shapes = ((8, 8), (4, 4))
+    value, off, w = make_inputs(rng, b=2, spatial_shapes=spatial_shapes)
+    ref = ms_deform_attn_window(
+        jnp.asarray(value), spatial_shapes, jnp.asarray(off), jnp.asarray(w), radius=2
+    )
+    out = ms_deform_attn_window_pallas(
+        jnp.asarray(value), spatial_shapes, jnp.asarray(off), jnp.asarray(w),
+        radius=2, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
