@@ -1,0 +1,354 @@
+"""torch-checkpoint -> flax params converter for released APE weights.
+
+Capability match: DetectionCheckpointer's tolerant load + the
+``?matching_heuristics=True`` EVA-pretrain remapping and the offline
+patch-14->16 / pos-embed interpolation (reference ape/checkpoint/
+detection_checkpoint.py:16-47, tools/eva_interpolate_patch_14to16.py:18-121).
+
+The reference state dict roots at ``model_vision.*`` (the SomeThing wrapper
+deletes its own prefix) with the detrex/torch module names; this maps them onto
+the ape_tpu flax tree. Layout rules:
+  Linear  weight (out,in)        -> kernel (in,out)           [transpose]
+  Conv2d  weight (out,in,kh,kw)  -> kernel (kh,kw,in,out)     [transpose 2,3,1,0]
+  ConvT2d weight (in,out,kh,kw)  -> kernel (kh,kw,in,out)     [transpose 2,3,0,1]
+  LayerNorm/GroupNorm weight/bias -> scale/bias
+  packed in_proj (3C,C)          -> qkv kernel / q,k,v splits
+"""
+
+from __future__ import annotations
+
+import logging
+import re
+from typing import Any, Dict
+
+import numpy as np
+
+logger = logging.getLogger("ape_tpu")
+
+
+def _t_linear(w):
+    return np.ascontiguousarray(np.asarray(w).T)
+
+
+def _t_conv(w):
+    return np.ascontiguousarray(np.transpose(np.asarray(w), (2, 3, 1, 0)))
+
+
+def _t_convT(w):
+    return np.ascontiguousarray(np.transpose(np.asarray(w), (2, 3, 0, 1)))
+
+
+def flatten_tree(tree: Dict, prefix: str = "") -> Dict[str, Any]:
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(flatten_tree(v, key))
+        else:
+            out[key] = v
+    return out
+
+
+def unflatten_tree(flat: Dict[str, Any]) -> Dict:
+    tree: Dict = {}
+    for k, v in flat.items():
+        parts = k.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+# rule table: (regex on torch name, target template, transform)
+# Torch names are the reference's `model_vision.`-stripped keys.
+_RULES = [
+    # ---- ViT backbone ----
+    (r"backbone\.net\.patch_embed\.proj\.weight", "backbone/net/patch_embed/kernel", _t_conv),
+    (r"backbone\.net\.patch_embed\.proj\.bias", "backbone/net/patch_embed/bias", None),
+    (r"backbone\.net\.pos_embed", "backbone/net/pos_embed", None),
+    (r"backbone\.net\.blocks\.(\d+)\.norm(\d)\.weight", r"backbone/net/blocks_\1/norm\2/scale", None),
+    (r"backbone\.net\.blocks\.(\d+)\.norm(\d)\.bias", r"backbone/net/blocks_\1/norm\2/bias", None),
+    (r"backbone\.net\.blocks\.(\d+)\.attn\.qkv\.weight", r"backbone/net/blocks_\1/attn/qkv/kernel", _t_linear),
+    (r"backbone\.net\.blocks\.(\d+)\.attn\.([qkv])_proj\.weight", r"backbone/net/blocks_\1/attn/\2_proj/kernel", _t_linear),
+    (r"backbone\.net\.blocks\.(\d+)\.attn\.q_bias", r"backbone/net/blocks_\1/attn/q_bias", None),
+    (r"backbone\.net\.blocks\.(\d+)\.attn\.v_bias", r"backbone/net/blocks_\1/attn/v_bias", None),
+    (r"backbone\.net\.blocks\.(\d+)\.attn\.inner_attn_ln\.weight", r"backbone/net/blocks_\1/attn/inner_attn_ln/scale", None),
+    (r"backbone\.net\.blocks\.(\d+)\.attn\.inner_attn_ln\.bias", r"backbone/net/blocks_\1/attn/inner_attn_ln/bias", None),
+    (r"backbone\.net\.blocks\.(\d+)\.attn\.proj\.weight", r"backbone/net/blocks_\1/attn/proj/kernel", _t_linear),
+    (r"backbone\.net\.blocks\.(\d+)\.attn\.proj\.bias", r"backbone/net/blocks_\1/attn/proj/bias", None),
+    (r"backbone\.net\.blocks\.(\d+)\.mlp\.w12\.weight", r"backbone/net/blocks_\1/mlp/w12/kernel", _t_linear),
+    (r"backbone\.net\.blocks\.(\d+)\.mlp\.w12\.bias", r"backbone/net/blocks_\1/mlp/w12/bias", None),
+    (r"backbone\.net\.blocks\.(\d+)\.mlp\.w(\d)\.weight", r"backbone/net/blocks_\1/mlp/w\2/kernel", _t_linear),
+    (r"backbone\.net\.blocks\.(\d+)\.mlp\.w(\d)\.bias", r"backbone/net/blocks_\1/mlp/w\2/bias", None),
+    (r"backbone\.net\.blocks\.(\d+)\.mlp\.ffn_ln\.weight", r"backbone/net/blocks_\1/mlp/ffn_ln/scale", None),
+    (r"backbone\.net\.blocks\.(\d+)\.mlp\.ffn_ln\.bias", r"backbone/net/blocks_\1/mlp/ffn_ln/bias", None),
+    # ---- SimpleFeaturePyramid (Sequential indices per scale) ----
+    # scale 4.0 (simfp_2): 0 deconv1, 1 LN, 3 deconv2, 4 conv1x1, 5 conv3x3
+    (r"backbone\.simfp_2\.0\.weight", "backbone/simfp_2_deconv1/kernel", _t_convT),
+    (r"backbone\.simfp_2\.0\.bias", "backbone/simfp_2_deconv1/bias", None),
+    (r"backbone\.simfp_2\.1\.weight", "backbone/simfp_2_ln/scale", None),
+    (r"backbone\.simfp_2\.1\.bias", "backbone/simfp_2_ln/bias", None),
+    (r"backbone\.simfp_2\.3\.weight", "backbone/simfp_2_deconv2/kernel", _t_convT),
+    (r"backbone\.simfp_2\.3\.bias", "backbone/simfp_2_deconv2/bias", None),
+    (r"backbone\.simfp_2\.4\.weight", "backbone/simfp_2_conv1x1/conv/kernel", _t_conv),
+    (r"backbone\.simfp_2\.4\.norm\.weight", "backbone/simfp_2_conv1x1/norm/scale", None),
+    (r"backbone\.simfp_2\.4\.norm\.bias", "backbone/simfp_2_conv1x1/norm/bias", None),
+    (r"backbone\.simfp_2\.5\.weight", "backbone/simfp_2_conv3x3/conv/kernel", _t_conv),
+    (r"backbone\.simfp_2\.5\.norm\.weight", "backbone/simfp_2_conv3x3/norm/scale", None),
+    (r"backbone\.simfp_2\.5\.norm\.bias", "backbone/simfp_2_conv3x3/norm/bias", None),
+    # scale 2.0 (simfp_3): 0 deconv1, 1 conv1x1, 2 conv3x3
+    (r"backbone\.simfp_3\.0\.weight", "backbone/simfp_3_deconv1/kernel", _t_convT),
+    (r"backbone\.simfp_3\.0\.bias", "backbone/simfp_3_deconv1/bias", None),
+    (r"backbone\.simfp_3\.1\.weight", "backbone/simfp_3_conv1x1/conv/kernel", _t_conv),
+    (r"backbone\.simfp_3\.1\.norm\.weight", "backbone/simfp_3_conv1x1/norm/scale", None),
+    (r"backbone\.simfp_3\.1\.norm\.bias", "backbone/simfp_3_conv1x1/norm/bias", None),
+    (r"backbone\.simfp_3\.2\.weight", "backbone/simfp_3_conv3x3/conv/kernel", _t_conv),
+    (r"backbone\.simfp_3\.2\.norm\.weight", "backbone/simfp_3_conv3x3/norm/scale", None),
+    (r"backbone\.simfp_3\.2\.norm\.bias", "backbone/simfp_3_conv3x3/norm/bias", None),
+    # scale 1.0 (simfp_4): 0 conv1x1, 1 conv3x3
+    (r"backbone\.simfp_4\.0\.weight", "backbone/simfp_4_conv1x1/conv/kernel", _t_conv),
+    (r"backbone\.simfp_4\.0\.norm\.weight", "backbone/simfp_4_conv1x1/norm/scale", None),
+    (r"backbone\.simfp_4\.0\.norm\.bias", "backbone/simfp_4_conv1x1/norm/bias", None),
+    (r"backbone\.simfp_4\.1\.weight", "backbone/simfp_4_conv3x3/conv/kernel", _t_conv),
+    (r"backbone\.simfp_4\.1\.norm\.weight", "backbone/simfp_4_conv3x3/norm/scale", None),
+    (r"backbone\.simfp_4\.1\.norm\.bias", "backbone/simfp_4_conv3x3/norm/bias", None),
+    # scale 0.5 (simfp_5): 0 maxpool, 1 conv1x1, 2 conv3x3
+    (r"backbone\.simfp_5\.1\.weight", "backbone/simfp_5_conv1x1/conv/kernel", _t_conv),
+    (r"backbone\.simfp_5\.1\.norm\.weight", "backbone/simfp_5_conv1x1/norm/scale", None),
+    (r"backbone\.simfp_5\.1\.norm\.bias", "backbone/simfp_5_conv1x1/norm/bias", None),
+    (r"backbone\.simfp_5\.2\.weight", "backbone/simfp_5_conv3x3/conv/kernel", _t_conv),
+    (r"backbone\.simfp_5\.2\.norm\.weight", "backbone/simfp_5_conv3x3/norm/scale", None),
+    (r"backbone\.simfp_5\.2\.norm\.bias", "backbone/simfp_5_conv3x3/norm/bias", None),
+    # ---- neck (detrex ChannelMapper: convs.{i}.{conv,gn}) ----
+    (r"neck\.convs\.(\d+)\.conv\.weight", None, _t_conv),  # handled dynamically (level name)
+    # ---- transformer top ----
+    (r"transformer\.level_embeds", "transformer/level_embeds", None),
+    (r"transformer\.enc_output\.weight", "transformer/enc_output/kernel", _t_linear),
+    (r"transformer\.enc_output\.bias", "transformer/enc_output/bias", None),
+    (r"transformer\.enc_output_norm\.weight", "transformer/enc_output_norm/scale", None),
+    (r"transformer\.enc_output_norm\.bias", "transformer/enc_output_norm/bias", None),
+    (r"transformer\.pos_trans\.weight", "transformer/pos_trans/kernel", _t_linear),
+    (r"transformer\.pos_trans\.bias", "transformer/pos_trans/bias", None),
+    (r"transformer\.pos_trans_norm\.weight", "transformer/pos_trans_norm/scale", None),
+    (r"transformer\.pos_trans_norm\.bias", "transformer/pos_trans_norm/bias", None),
+    (r"transformer\.pix_trans\.weight", "transformer/pix_trans/kernel", _t_linear),
+    (r"transformer\.pix_trans\.bias", "transformer/pix_trans/bias", None),
+    (r"transformer\.pix_trans_norm\.weight", "transformer/pix_trans_norm/scale", None),
+    (r"transformer\.pix_trans_norm\.bias", "transformer/pix_trans_norm/bias", None),
+]
+
+_LEVELS = ("p2", "p3", "p4", "p5", "p6")
+
+# detrex BaseTransformerLayer names -> ours, per encoder/decoder layer
+_MSDA_PARTS = {
+    "sampling_offsets": "sampling_offsets",
+    "attention_weights": "attention_weights",
+    "value_proj": "value_proj",
+    "output_proj": "output_proj",
+}
+
+
+def _convert_enc_dec(name: str, value) -> Dict[str, Any]:
+    out = {}
+    m = re.match(r"transformer\.encoder\.layers\.(\d+)\.(.*)", name)
+    if m:
+        i, rest = m.group(1), m.group(2)
+        base = f"transformer/encoder/layers_{i}"
+        out.update(_convert_layer_rest(base, rest, value, decoder=False))
+        return out
+    m = re.match(r"transformer\.encoder\.vl_layers\.(\d+)\.(.*)", name)
+    if m:
+        i, rest = m.group(1), m.group(2)
+        base = f"transformer/encoder/vl_layers_{i}"
+        rest = rest.replace("b_attn.", "")
+        if rest.startswith("attn."):
+            sub = rest[len("attn.") :]
+            pname, kind = sub.rsplit(".", 1)
+            tgt = f"{base}/attn/{pname}/{'kernel' if kind == 'weight' else 'bias'}"
+            out[tgt] = _t_linear(value) if kind == "weight" else np.asarray(value)
+        elif rest in ("gamma_v", "gamma_l"):
+            out[f"{base}/{rest}"] = np.asarray(value)
+        elif rest.startswith("layer_norm"):
+            pname, kind = rest.rsplit(".", 1)
+            out[f"{base}/{pname}/{'scale' if kind == 'weight' else 'bias'}"] = np.asarray(value)
+        return out
+    m = re.match(r"transformer\.decoder\.layers\.(\d+)\.(.*)", name)
+    if m:
+        i, rest = m.group(1), m.group(2)
+        base = f"transformer/decoder/layers_{i}"
+        out.update(_convert_layer_rest(base, rest, value, decoder=True))
+        return out
+    m = re.match(r"transformer\.decoder\.bbox_embed\.(\d+)\.layers\.(\d+)\.(weight|bias)", name)
+    if m:
+        i, j, kind = m.groups()
+        tgt = f"transformer/decoder/bbox_embed_{i}/layer{j}/{'kernel' if kind == 'weight' else 'bias'}"
+        out[tgt] = _t_linear(value) if kind == "weight" else np.asarray(value)
+        return out
+    return out
+
+
+def _convert_layer_rest(base: str, rest: str, value, decoder: bool) -> Dict[str, Any]:
+    """detrex BaseTransformerLayer: attentions.{0,1}, ffns.0, norms.{i}."""
+    out = {}
+    v = np.asarray(value)
+    m = re.match(r"attentions\.(\d)\.(.*)", rest)
+    if m:
+        ai, sub = int(m.group(1)), m.group(2)
+        if decoder and ai == 0:  # self MHA
+            if sub == "attn.in_proj_weight":
+                q, k, kv = np.split(v, 3, axis=0)
+                for nm, w in zip(("q_proj", "k_proj", "v_proj"), (q, k, kv)):
+                    out[f"{base}/self_attn/{nm}/kernel"] = _t_linear(w)
+            elif sub == "attn.in_proj_bias":
+                q, k, kv = np.split(v, 3, axis=0)
+                for nm, w in zip(("q_proj", "k_proj", "v_proj"), (q, k, kv)):
+                    out[f"{base}/self_attn/{nm}/bias"] = w
+            elif sub == "attn.out_proj.weight":
+                out[f"{base}/self_attn/out_proj/kernel"] = _t_linear(v)
+            elif sub == "attn.out_proj.bias":
+                out[f"{base}/self_attn/out_proj/bias"] = v
+        else:  # MSDA (encoder attentions.0 / decoder attentions.1)
+            dst = "attn" if not decoder else "cross_attn"
+            pm = re.match(r"(\w+)\.(weight|bias)", sub)
+            if pm and pm.group(1) in _MSDA_PARTS:
+                kind = pm.group(2)
+                tgt = f"{base}/{dst}/{pm.group(1)}/{'kernel' if kind == 'weight' else 'bias'}"
+                out[tgt] = _t_linear(v) if kind == "weight" else v
+        return out
+    m = re.match(r"ffns\.0\.layers\.0\.0\.(weight|bias)", rest)
+    if m:
+        kind = m.group(1)
+        out[f"{base}/ffn/fc1/{'kernel' if kind == 'weight' else 'bias'}"] = (
+            _t_linear(v) if kind == "weight" else v
+        )
+        return out
+    m = re.match(r"ffns\.0\.layers\.1\.(weight|bias)", rest)
+    if m:
+        kind = m.group(1)
+        out[f"{base}/ffn/fc2/{'kernel' if kind == 'weight' else 'bias'}"] = (
+            _t_linear(v) if kind == "weight" else v
+        )
+        return out
+    m = re.match(r"norms\.(\d)\.(weight|bias)", rest)
+    if m:
+        ni, kind = int(m.group(1)), m.group(2)
+        out[f"{base}/norm{ni + 1}/{'scale' if kind == 'weight' else 'bias'}"] = v
+        return out
+    return out
+
+
+def _convert_heads(name: str, value) -> Dict[str, Any]:
+    out = {}
+    v = np.asarray(value)
+    m = re.match(r"class_embed\.(\d+)\.(.*)", name)
+    if m:
+        i, rest = m.group(1), m.group(2)
+        base = f"class_embed_{i}"
+        if rest == "dot_product_projection_text.weight":
+            out[f"{base}/dot_product_projection_text/kernel"] = _t_linear(v)
+        elif rest == "dot_product_projection_text.bias":
+            out[f"{base}/dot_product_projection_text/bias"] = v
+        elif rest in ("log_scale", "bias_lang", "bias0"):
+            out[f"{base}/{rest}"] = v
+        elif rest == "weight":  # the binary Linear head (last class_embed)
+            out["enc_class_head_linear/kernel"] = _t_linear(v)
+        elif rest == "bias":
+            out["enc_class_head_linear/bias"] = v
+        return out
+    m = re.match(r"mask_embed(?:\.(\d+))?\.layers\.(\d+)\.(weight|bias)", name)
+    if m:
+        i, j, kind = m.groups()
+        base = f"mask_embed_{i}" if i is not None else "mask_embed"
+        out[f"{base}/layer{j}/{'kernel' if kind == 'weight' else 'bias'}"] = (
+            _t_linear(v) if kind == "weight" else v
+        )
+        return out
+    for conv in ("lateral_conv", "output_conv", "mask_conv"):
+        if name == f"{conv}.weight":
+            out[f"{conv}/kernel"] = _t_conv(v)
+            return out
+        if name == f"{conv}.norm.weight":
+            out[f"{conv.replace('_conv', '_norm')}/scale"] = v
+            return out
+        if name == f"{conv}.norm.bias":
+            out[f"{conv.replace('_conv', '_norm')}/bias"] = v
+            return out
+    return out
+
+
+def convert_torch_state_dict(state_dict: Dict[str, Any]) -> Dict[str, Any]:
+    """Convert a reference torch state dict (numpy values) to a flat flax dict."""
+    flat: Dict[str, Any] = {}
+    unmatched = []
+    for name, value in state_dict.items():
+        name = name.removeprefix("model.").removeprefix("model_vision.")
+        # neck: convs.{i} -> conv_{level} (+ gn)
+        m = re.match(r"neck\.convs\.(\d+)\.conv\.(weight|bias)", name)
+        if m:
+            lvl = _LEVELS[int(m.group(1))]
+            kind = m.group(2)
+            flat[f"neck/conv_{lvl}/{'kernel' if kind == 'weight' else 'bias'}"] = (
+                _t_conv(value) if kind == "weight" else np.asarray(value)
+            )
+            continue
+        m = re.match(r"neck\.convs\.(\d+)\.gn\.(weight|bias)", name)
+        if m:
+            lvl = _LEVELS[int(m.group(1))]
+            kind = m.group(2)
+            flat[f"neck/gn_{lvl}/{'scale' if kind == 'weight' else 'bias'}"] = np.asarray(value)
+            continue
+
+        done = False
+        for pattern, target, tf in _RULES:
+            m = re.fullmatch(pattern, name)
+            if m and target is not None:
+                flat[m.expand(target)] = tf(value) if tf else np.asarray(value)
+                done = True
+                break
+        if done:
+            continue
+        out = _convert_enc_dec(name, value)
+        if not out:
+            out = _convert_heads(name, value)
+        if out:
+            flat.update(out)
+        else:
+            unmatched.append(name)
+    if unmatched:
+        logger.warning(
+            f"convert: {len(unmatched)} unmatched keys (first 10): {unmatched[:10]}"
+        )
+    return flat
+
+
+def load_params_tolerant(path: str, params_template) -> Any:
+    """Load a torch .pth/.pkl or orbax dir into the given param tree, keeping
+    template values for missing keys and skipping shape mismatches (d2's
+    tolerant-load semantics)."""
+    import jax
+
+    if path.endswith((".pth", ".pt", ".pkl")):
+        import torch
+
+        sd = torch.load(path, map_location="cpu", weights_only=False)
+        if "model" in sd:
+            sd = sd["model"]
+        sd = {k: np.asarray(v) for k, v in sd.items() if hasattr(v, "shape")}
+        flat_src = convert_torch_state_dict(sd)
+    else:
+        raise ValueError(f"unsupported checkpoint: {path}")
+
+    flat_dst = flatten_tree(params_template)
+    loaded, skipped = 0, []
+    for k, v in flat_src.items():
+        if k in flat_dst:
+            if tuple(flat_dst[k].shape) == tuple(v.shape):
+                flat_dst[k] = v.astype(np.asarray(flat_dst[k]).dtype)
+                loaded += 1
+            else:
+                skipped.append((k, v.shape, tuple(flat_dst[k].shape)))
+    logger.info(f"loaded {loaded}/{len(flat_dst)} params from {path}")
+    if skipped:
+        logger.warning(f"shape-skipped: {skipped[:10]}")
+    return jax.tree.map(lambda x: x, unflatten_tree(flat_dst))

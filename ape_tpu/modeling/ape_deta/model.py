@@ -186,6 +186,11 @@ class APEDeta(nn.Module):
         # ---- per-layer heads ----
         outputs_classes = []
         outputs_masks = []
+        shared_mask_embed = (
+            MLP(self.embed_dim, self.embed_dim, 3, dtype=self.dtype, name="mask_embed")
+            if self.mask_on and not self.aux_mask
+            else None
+        )
         for lyr in range(num_layers):
             logits = VisionLanguageAlign(
                 self.embed_dim,
@@ -202,10 +207,7 @@ class APEDeta(nn.Module):
                         name=f"mask_embed_{lyr}",
                     )(inter_states[lyr])
                 else:
-                    membed = MLP(
-                        self.embed_dim, self.embed_dim, 3, dtype=self.dtype,
-                        name="mask_embed",
-                    )(inter_states[lyr])
+                    membed = shared_mask_embed(inter_states[lyr])
                 outputs_masks.append(
                     jnp.einsum("bqc,bhwc->bqhw", membed, mask_features)
                 )

@@ -1,0 +1,171 @@
+"""Model factories for the released APE variants.
+
+Capability match: the backbone/transformer configs of the reference —
+  * APE-Ti: configs/common/backbone/vitt_eva02.py (EVA-02-Ti 192d/12L/3H win14,
+    packed SwiGLU) + ape_deta_r50.py transformer tree (6+6 layers, 900 queries)
+  * APE-L_D: configs/common/backbone/vitl_eva02_clip.py (1024d/24L/16H win32,
+    subln + naiveswiglu) + the flagship mdl config (VL fusion embed 2048,
+    layer-scale 1/6, text dim 1024)
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ape_tpu.modeling.ape_deta.model import APEDeta, ChannelMapper
+from ape_tpu.modeling.ape_deta.transformer import (
+    DeformableDetrTransformer,
+    DeformableTransformerDecoder,
+    DeformableTransformerEncoder,
+)
+from ape_tpu.modeling.backbone.eva_vit import EVAViT, SimpleFeaturePyramid
+
+
+def _window_indexes(depth: int):
+    """2/3 windowed, every 3rd block global (vitt/vitl config pattern)."""
+    return tuple(i for i in range(depth) if (i + 1) % 3 != 0)
+
+
+def build_backbone_ti(img_size=1024, dtype=jnp.float32):
+    return SimpleFeaturePyramid(
+        net=EVAViT(
+            img_size=img_size,
+            patch_size=16,
+            embed_dim=192,
+            depth=12,
+            num_heads=3,
+            mlp_ratio=4 * 2 / 3,
+            window_size=14,
+            window_block_indexes=_window_indexes(12),
+            pretrain_img_size=224,
+            pt_hw_seq_len=16,
+            packed_swiglu=True,
+            drop_path_rate=0.0,
+            dtype=dtype,
+        ),
+        out_channels=256,
+        dtype=dtype,
+    )
+
+
+def build_backbone_l(img_size=1024, dtype=jnp.float32, drop_path_rate=0.0):
+    return SimpleFeaturePyramid(
+        net=EVAViT(
+            img_size=img_size,
+            patch_size=16,
+            embed_dim=1024,
+            depth=24,
+            num_heads=16,
+            mlp_ratio=4 * 2 / 3,
+            window_size=32,
+            window_block_indexes=_window_indexes(24),
+            pretrain_img_size=336,
+            pt_hw_seq_len=16,
+            subln=True,
+            inner_attn_ln=True,
+            swiglu_subln=True,
+            drop_path_rate=drop_path_rate,
+            dtype=dtype,
+        ),
+        out_channels=256,
+        dtype=dtype,
+    )
+
+
+def build_transformer(
+    num_layers=6,
+    num_queries=900,
+    vl_fusion=False,
+    embed_dim_language=1024,
+    window_radius=4,
+    use_act_checkpoint=False,
+    dtype=jnp.float32,
+):
+    return DeformableDetrTransformer(
+        encoder=DeformableTransformerEncoder(
+            embed_dim=256,
+            num_heads=8,
+            feedforward_dim=2048,
+            num_layers=num_layers,
+            num_feature_levels=5,
+            window_radius=window_radius,
+            vl_fusion=vl_fusion,
+            vl_embed_dim=2048,
+            vl_num_heads=8,
+            vl_init_values=1.0 / 6,
+            embed_dim_language=embed_dim_language,
+            use_act_checkpoint=use_act_checkpoint,
+            dtype=dtype,
+        ),
+        decoder=DeformableTransformerDecoder(
+            embed_dim=256,
+            num_heads=8,
+            feedforward_dim=2048,
+            num_layers=num_layers,
+            num_feature_levels=5,
+            look_forward_twice=True,
+            use_act_checkpoint=use_act_checkpoint,
+            dtype=dtype,
+        ),
+        num_feature_levels=5,
+        two_stage_num_proposals=num_queries,
+        assign_first_stage=True,
+        dtype=dtype,
+    )
+
+
+def build_ape_ti(
+    img_size=1024,
+    num_queries=900,
+    embed_dim_language=1024,
+    mask_on=True,
+    window_radius=4,
+    dtype=jnp.float32,
+):
+    """APE-Ti: EVA-02-Ti backbone, no VL fusion (BASELINE.json config #1/#2)."""
+    return APEDeta(
+        backbone=build_backbone_ti(img_size, dtype),
+        neck=ChannelMapper(out_channels=256, dtype=dtype),
+        transformer=build_transformer(
+            num_queries=num_queries,
+            vl_fusion=False,
+            embed_dim_language=embed_dim_language,
+            window_radius=window_radius,
+            dtype=dtype,
+        ),
+        embed_dim=256,
+        embed_dim_language=embed_dim_language,
+        num_queries=num_queries,
+        mask_on=mask_on,
+        dtype=dtype,
+    )
+
+
+def build_ape_l_d(
+    img_size=1024,
+    num_queries=900,
+    embed_dim_language=1024,
+    mask_on=True,
+    window_radius=4,
+    use_act_checkpoint=True,
+    drop_path_rate=0.4,
+    dtype=jnp.float32,
+):
+    """APE-L_D: ViT-L EVA-02-CLIP backbone + vision-language fusion (flagship)."""
+    return APEDeta(
+        backbone=build_backbone_l(img_size, dtype, drop_path_rate),
+        neck=ChannelMapper(out_channels=256, dtype=dtype),
+        transformer=build_transformer(
+            num_queries=num_queries,
+            vl_fusion=True,
+            embed_dim_language=embed_dim_language,
+            window_radius=window_radius,
+            use_act_checkpoint=use_act_checkpoint,
+            dtype=dtype,
+        ),
+        embed_dim=256,
+        embed_dim_language=embed_dim_language,
+        num_queries=num_queries,
+        mask_on=mask_on,
+        dtype=dtype,
+    )

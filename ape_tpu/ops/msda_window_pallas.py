@@ -261,7 +261,9 @@ def ms_deform_attn_window_pallas(
 
     off32 = pixel_offsets.astype(jnp.float32)
     att32 = attention_weights.astype(jnp.float32)
-    value_f = value.astype(jnp.float32).reshape(b, s, h * d)
+    # d-major channel layout (channel = d*H + h): pltpu.repeat tiles its input,
+    # so the tiled (h0..hH)*D weight pattern lines up with d-major value lanes
+    value_f = value.astype(jnp.float32).transpose(0, 1, 3, 2).reshape(b, s, h * d)
 
     out_per_qlevel = [None] * l
     for lv, (hv, wv) in enumerate(spatial_shapes):
@@ -280,4 +282,5 @@ def ms_deform_attn_window_pallas(
             out_per_qlevel[lq] = part if out_per_qlevel[lq] is None else out_per_qlevel[lq] + part
 
     out = jnp.concatenate(out_per_qlevel, axis=1)
+    out = out.reshape(b, s, d, h).transpose(0, 1, 3, 2).reshape(b, s, h * d)
     return out.astype(value.dtype)

@@ -1,0 +1,74 @@
+"""Benchmark: APE-Ti inference images/sec/chip at 1024^2 on the real TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline is computed against an A100 reference estimate for APE-Ti
+single-image 1024^2 inference (~8 img/s — derived from the reference's
+eval_time.sh protocol class; the reference repo publishes no number, see
+BASELINE.md). The north star is >= 2x (vs_baseline >= 2.0).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+A100_EST_IMG_PER_S = 8.0
+
+# allow shrinking for smoke runs
+IMG = int(os.environ.get("BENCH_IMG", 1024))
+NUM_TEXT = int(os.environ.get("BENCH_TEXT", 80))
+ITERS = int(os.environ.get("BENCH_ITERS", 8))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ape_tpu.modeling.build import build_ape_ti
+
+    model = build_ape_ti(img_size=IMG, num_queries=900, window_radius=4)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randn(1, IMG, IMG, 3), jnp.float32)
+    image_sizes = jnp.asarray([[IMG, IMG]], jnp.int32)
+    text = jnp.asarray(rng.randn(1, NUM_TEXT, 1024), jnp.float32)
+    text_valid = jnp.ones((1, NUM_TEXT), bool)
+
+    params = model.init(jax.random.PRNGKey(0), images, image_sizes, text, text_valid)[
+        "params"
+    ]
+
+    @jax.jit
+    def fwd(params, images, image_sizes, text, text_valid):
+        out = model.apply({"params": params}, images, image_sizes, text, text_valid)
+        return out["pred_logits"], out["pred_boxes"], out.get("pred_masks")
+
+    # warm up / compile
+    out = fwd(params, images, image_sizes, text, text_valid)
+    jax.tree.map(lambda x: np.asarray(x[..., :1]), out)
+
+    # timed: vary input each call (the remote-compile tunnel caches identical
+    # dispatches), fetch a slice at the end to force completion
+    t0 = time.perf_counter()
+    for k in range(ITERS):
+        out = fwd(params, images + float(k) * 1e-3, image_sizes, text, text_valid)
+    np.asarray(out[0][..., :1])
+    dt = (time.perf_counter() - t0) / ITERS
+    img_per_s = 1.0 / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": f"APE-Ti inference images/sec/chip @ {IMG}x{IMG}",
+                "value": round(img_per_s, 3),
+                "unit": "img/s",
+                "vs_baseline": round(img_per_s / A100_EST_IMG_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

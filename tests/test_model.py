@@ -1,0 +1,65 @@
+"""Full APEDeta model forward: shapes, finiteness, train step smoke."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ape_tpu.modeling.build import build_ape_ti
+
+
+def tiny_model():
+    return build_ape_ti(img_size=64, num_queries=16, window_radius=2)
+
+
+def make_inputs(rng, b=1, t=4):
+    return (
+        jnp.asarray(rng.randn(b, 64, 64, 3).astype(np.float32)),
+        jnp.asarray([[64, 48]] * b, jnp.int32),
+        jnp.asarray(rng.randn(b, t, 1024).astype(np.float32)),
+        jnp.ones((b, t), bool),
+    )
+
+
+def test_ape_deta_forward(rng):
+    model = tiny_model()
+    images, sizes, text, tvalid = make_inputs(rng)
+    params = model.init(jax.random.PRNGKey(0), images, sizes, text, tvalid)
+    out = model.apply(params, images, sizes, text, tvalid)
+    assert out["pred_logits"].shape == (1, 16, 4)
+    assert out["pred_boxes"].shape == (1, 16, 4)
+    assert out["pred_masks"].shape == (1, 16, 16, 16)
+    assert len(out["aux_outputs"]) == 5
+    assert out["enc_outputs"]["pred_logits"].shape[-1] == 1
+    for k in ("pred_logits", "pred_boxes", "pred_masks"):
+        assert np.isfinite(np.asarray(out[k])).all(), k
+
+
+def test_criterion_on_model_outputs(rng):
+    import optax
+
+    from ape_tpu.modeling.ape_deta.criterion import (
+        DeformableCriterion,
+        default_weight_dict,
+    )
+
+    model = tiny_model()
+    images, sizes, text, tvalid = make_inputs(rng)
+    params = model.init(jax.random.PRNGKey(0), images, sizes, text, tvalid)
+    out = model.apply(params, images, sizes, text, tvalid)
+    targets = {
+        "labels": jnp.asarray([[0, 1, 2, 0]], jnp.int32),
+        "boxes": jnp.asarray(
+            [[[0.3, 0.3, 0.2, 0.2], [0.6, 0.6, 0.3, 0.3], [0.5, 0.2, 0.1, 0.1], [0, 0, 0, 0]]]
+        ),
+        "valid": jnp.asarray([[True, True, True, False]]),
+        "masks": jnp.asarray((rng.rand(1, 4, 16, 16) > 0.5).astype(np.float32)),
+    }
+    crit = DeformableCriterion(
+        num_classes=4, weight_dict=default_weight_dict(), num_queries=16
+    )
+    losses = crit(jax.random.PRNGKey(1), out, targets, jnp.asarray(3.0))
+    total = crit.total(losses)
+    assert np.isfinite(float(total)), losses
+    assert "loss_class" in losses and "loss_class_enc" in losses
+    assert "loss_class_0" in losses  # aux layers
