@@ -1,0 +1,168 @@
+"""APE: the top-level prompted-inference wrapper.
+
+Capability match: SomeThing (ape/modeling/ape_deta/ape_deta.py:20-41) +
+DeformableDETRSegmVL's prompt routing and eval plumbing
+(deformable_detr_segm_vl.py:166-340, :524-549): holds vision model + language
+model, routes "name"/"phrase"/"expression"/"text" prompts into text features
+(with in-memory cache and a text feature bank), selects per-dataset vocabulary
+via set_eval_dataset, and produces instance/semantic/panoptic outputs.
+
+Functional split: this class owns params + jitted functions; the flax model is
+pure. Demo-facing API mirrors DefaultPredictor (engine/defaults.py:159-230).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ape_tpu.data.catalog import MetadataCatalog, get_text_list
+from ape_tpu.modeling.ape_deta.postprocess import (
+    instance_inference,
+    panoptic_scores,
+    semantic_inference,
+)
+
+logger = logging.getLogger("ape_tpu")
+
+
+class APE:
+    def __init__(
+        self,
+        model,  # APEDeta flax module
+        params,
+        model_language,  # EVA02CLIP-like (forward_text)
+        dataset_names: Sequence[str] = (),
+        dataset_prompts: Optional[Sequence[str]] = None,
+        max_text: int = 128,  # padded vocab size per forward
+        test_score_thresh: float = 0.05,
+        test_nms_thresh: float = 0.5,
+        select_box_nums_for_evaluation: int = 300,
+        instance_on: bool = True,
+        semantic_on: bool = True,
+        panoptic_on: bool = False,
+    ):
+        self.model = model
+        self.params = params
+        self.model_language = model_language
+        self.metadata_list = [MetadataCatalog.get(n) for n in dataset_names]
+        self.dataset_prompts = list(dataset_prompts or ["name"] * len(self.metadata_list))
+        self.max_text = max_text
+        self.test_score_thresh = test_score_thresh
+        self.test_nms_thresh = test_nms_thresh
+        self.select_box_nums = select_box_nums_for_evaluation
+        self.instance_on = instance_on
+        self.semantic_on = semantic_on
+        self.panoptic_on = panoptic_on
+        self.eval_dataset_id = 0 if self.metadata_list else -1
+        self._text_cache: Dict[tuple, np.ndarray] = {}
+
+        self._forward = jax.jit(
+            lambda p, img, sz, txt, tv: self.model.apply({"params": p}, img, sz, txt, tv)
+        )
+        self._post_instance = jax.jit(
+            lambda lo, bx, sz, cv: instance_inference(
+                lo, bx, sz, cv,
+                score_thresh=self.test_score_thresh,
+                nms_thresh=self.test_nms_thresh,
+                topk=self.select_box_nums,
+            ),
+        )
+        self._post_semantic = jax.jit(semantic_inference)
+
+    # ------------------------------------------------------------------
+    def set_eval_dataset(self, dataset_name: str):
+        """Pick the dataset's vocabulary/prompt (deformable_detr.py:524-549)."""
+        for i, m in enumerate(self.metadata_list):
+            if m.name == dataset_name:
+                self.eval_dataset_id = i
+                return
+        self.eval_dataset_id = -1
+        logger.warning(f"unknown eval dataset {dataset_name}")
+
+    def _encode_vocab(self, text_list: List[str]) -> np.ndarray:
+        key = tuple(text_list)
+        if key not in self._text_cache:
+            out = self.model_language.forward_text(text_list, cache=True)
+            self._text_cache[key] = np.asarray(out["last_hidden_state_eot"], np.float32)
+        return self._text_cache[key]
+
+    def _text_features(self, text_list: List[str]):
+        feats = self._encode_vocab(text_list)  # (T, Cl)
+        t = len(text_list)
+        pad = self.max_text * -(-max(t, 1) // self.max_text)
+        out = np.zeros((pad, feats.shape[-1]), np.float32)
+        out[:t] = feats
+        valid = np.zeros(pad, bool)
+        valid[:t] = True
+        return jnp.asarray(out[None]), jnp.asarray(valid[None])
+
+    def vocabulary(self, text_prompt: Optional[str] = None) -> List[str]:
+        if text_prompt:
+            return [w.strip() for w in text_prompt.split(",") if w.strip()]
+        if 0 <= self.eval_dataset_id < len(self.metadata_list):
+            return get_text_list(self.metadata_list[self.eval_dataset_id])
+        return []
+
+    # ------------------------------------------------------------------
+    def __call__(self, batched_inputs: List[Dict], do_postprocess: bool = True):
+        """Inference on a list of mapped inputs (each has image/image_size/...).
+
+        Matches the reference's eval forward: dataset vocabulary or per-input
+        text_prompt -> text features -> vision forward -> per-task inference.
+        """
+        results = []
+        for inp in batched_inputs:
+            text_list = self.vocabulary(inp.get("text_prompt"))
+            if not text_list:
+                text_list = ["object"]
+            txt, tvalid = self._text_features(text_list)
+            images = jnp.asarray(inp["image"][None])
+            sizes = jnp.asarray(inp["image_size"][None])
+            out = self._forward(self.params, images, sizes, txt, tvalid)
+
+            res: Dict = {"image_id": inp.get("image_id", 0)}
+            if self.instance_on:
+                inst = self._post_instance(
+                    out["pred_logits"][0], out["pred_boxes"][0], sizes[0], tvalid[0]
+                )
+                inst = {k: np.asarray(v) for k, v in inst.items()}
+                keep = inst["valid"]
+                scale = self._rescale_factor(inp)
+                instances = {
+                    "boxes": inst["boxes"][keep] * scale,
+                    "scores": inst["scores"][keep],
+                    "classes": inst["classes"][keep],
+                }
+                if "pred_masks" in out:
+                    masks_small = np.asarray(out["pred_masks"][0])  # (K, Hm, Wm)
+                    instances["mask_logits"] = masks_small[inst["query_idx"][keep]]
+                res["instances"] = instances
+            if self.semantic_on and "pred_masks" in out:
+                sem = self._post_semantic(
+                    out["pred_logits"][0], out["pred_masks"][0], tvalid[0]
+                )
+                res["sem_seg"] = np.asarray(sem)
+            if self.panoptic_on and "pred_masks" in out:
+                scores, labels, raw = panoptic_scores(out["pred_logits"][0], tvalid[0])
+                res["panoptic_raw"] = {
+                    "scores": np.asarray(scores),
+                    "labels": np.asarray(labels),
+                    "raw_scores": np.asarray(raw),
+                    "mask_logits": np.asarray(out["pred_masks"][0]),
+                }
+            res["text_list"] = text_list
+            results.append(res)
+        return results
+
+    @staticmethod
+    def _rescale_factor(inp: Dict) -> float:
+        """boxes are in model-input pixels; scale back to the original image."""
+        rec = inp.get("transform")
+        if rec is None:
+            return 1.0
+        return 1.0 / rec.scale

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ape_tpu.ops.msda import ms_deform_attn
-from ape_tpu.ops.msda_window import ms_deform_attn_window
+from ape_tpu.ops.msda_dispatch import ms_deform_attn_window_dispatch
 
 
 def _offset_bias_init(num_heads: int, num_levels: int, num_points: int) -> np.ndarray:
@@ -96,7 +96,7 @@ class MultiScaleDeformableAttention(nn.Module):
                 raise ValueError("window mode requires 2-point references")
             if grid_corrections is not None:
                 pixel_offsets = pixel_offsets + grid_corrections[:, :, None, :, None, :]
-            out = ms_deform_attn_window(
+            out = ms_deform_attn_window_dispatch(
                 v, spatial_shapes, pixel_offsets, weights, radius=self.window_radius
             )
         else:

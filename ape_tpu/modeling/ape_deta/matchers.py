@@ -86,6 +86,7 @@ def topk_per_gt(
 ) -> jnp.ndarray:
     """Keep at most k proposals per gt, highest IoU first (sample_topk_per_gt)."""
     g = iou.shape[0]
+    k = min(k, iou.shape[1])
     mine = jax.nn.one_hot(assign_gt, g, dtype=bool, axis=0)  # (G, K); -1 -> all False
     scores = jnp.where(mine, iou, NEG)  # (G, K)
     kth = jax.lax.top_k(scores, k)[0][:, -1:]  # (G, 1) k-th best per gt

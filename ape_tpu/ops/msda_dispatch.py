@@ -1,0 +1,84 @@
+"""Backend dispatch for window MSDA: Pallas forward on TPU, exact path on CPU.
+
+The three implementations agree numerically (tests/test_msda_window.py,
+tests/test_msda_pallas.py):
+  * exact gather (ops/msda.py) composed with the clip+grid bridge — light to
+    compile, fast on CPU; the gradient reference.
+  * XLA window shift-FMA (ops/msda_window.py) — the semantic oracle; its
+    (2R+3)^2 x pairs unrolling is too heavy to compile/run in production.
+  * Pallas kernel (ops/msda_window_pallas.py) — the TPU production forward.
+
+Training on TPU uses custom_vjp: Pallas forward + gradients from the exact
+formulation (identical math: window == exact at clipped offsets; the backward
+Pallas kernels are a planned optimization — gather/scatter backward is the
+reference's own backward structure).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ape_tpu.ops.msda import ms_deform_attn
+from ape_tpu.ops.msda_window import pixel_offsets_to_locations
+
+
+def _exact_equiv(value, spatial_shapes, pixel_offsets, attention_weights, radius):
+    off = jnp.clip(pixel_offsets, -radius, radius)
+    loc = pixel_offsets_to_locations(spatial_shapes, off)
+    return ms_deform_attn(value, spatial_shapes, loc.astype(value.dtype), attention_weights)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4))
+def _window_pallas_with_exact_grad(value, spatial_shapes, pixel_offsets, attention_weights, radius):
+    from ape_tpu.ops.msda_window_pallas import ms_deform_attn_window_pallas
+
+    return ms_deform_attn_window_pallas(
+        value, spatial_shapes, pixel_offsets, attention_weights, radius
+    )
+
+
+def _fwd(value, spatial_shapes, pixel_offsets, attention_weights, radius):
+    out = _window_pallas_with_exact_grad(
+        value, spatial_shapes, pixel_offsets, attention_weights, radius
+    )
+    return out, (value, pixel_offsets, attention_weights)
+
+
+def _bwd(spatial_shapes, radius, res, g):
+    value, pixel_offsets, attention_weights = res
+    _, vjp = jax.vjp(
+        lambda v, o, w: _exact_equiv(v, spatial_shapes, o, w, radius),
+        value,
+        pixel_offsets,
+        attention_weights,
+    )
+    return vjp(g)
+
+
+_window_pallas_with_exact_grad.defvjp(_fwd, _bwd)
+
+
+def ms_deform_attn_window_dispatch(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    pixel_offsets: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+    radius: int = 4,
+    force_impl: str = "",  # "pallas" | "exact" | "" (auto by backend)
+) -> jnp.ndarray:
+    channels = value.shape[2] * value.shape[3]
+    impl = force_impl or (
+        "pallas"
+        if jax.default_backend() == "tpu" and channels % 128 == 0
+        else "exact"
+    )
+    if impl == "pallas":
+        return _window_pallas_with_exact_grad(
+            value, tuple(map(tuple, spatial_shapes)), pixel_offsets,
+            attention_weights, radius,
+        )
+    return _exact_equiv(value, spatial_shapes, pixel_offsets, attention_weights, radius)

@@ -1,0 +1,68 @@
+# APE-L_D-style: ViT-L EVA-02-CLIP backbone + vision-language fusion, LVIS
+# vocabulary with federated loss (reference: the flagship mdl config,
+# configs/LVISCOCOCOCOSTUFF_.../ape_deta_vitl_eva02_clip_vlf_lsj1024_cp_16x4_1080k_mdl.py).
+import os
+
+from ape_tpu.config import LazyConfig
+
+_dir = os.path.dirname(__file__)
+_base = LazyConfig.load(os.path.join(_dir, "../../common/models/ape_deta.py"))
+_bb = LazyConfig.load(os.path.join(_dir, "../../common/backbone/vitl_eva02_clip.py"))
+
+model = _base.model
+model.backbone = _bb.backbone
+model.transformer.encoder.vl_fusion = True
+model.transformer.encoder.vl_embed_dim = 2048
+model.transformer.encoder.vl_init_values = 1.0 / 6
+model.transformer.encoder.use_act_checkpoint = True
+model.transformer.decoder.use_act_checkpoint = True
+
+criterion = _base.criterion
+criterion.num_classes = 1203
+criterion.use_fed_loss = True
+criterion.fed_loss_num_classes = 50
+
+language = dict(
+    width=1024,
+    heads=16,
+    layers=24,
+    output_dim=1024,
+    bpe_path=os.environ.get("CLIP_BPE_PATH", ""),
+    max_batch_size=256,
+)
+
+optimizer = dict(
+    base_lr=2e-4,
+    weight_decay=0.05,
+    grad_clip=0.1,
+    vit_num_layers=24,
+    layer_decay=0.8,
+    milestones=[900000],
+    warmup_steps=2000,
+)
+
+train = dict(
+    output_dir="./output/ape_deta_vitl_lvis",
+    max_iter=1080000,
+    checkpoint_period=5000,
+    log_period=20,
+    eval_period=20000,
+    iter_size=4,
+    ema_decay=0.0,
+    init_checkpoint="",
+    seed=0,
+    fast_dev_run=dict(enabled=False),
+    image_size=1024,
+    num_text=1216,  # LVIS 1203 padded to the text tile
+    text_dim=1024,
+)
+
+dataloader = dict(
+    train=dict(
+        dataset_names=["lvis_v1_train"],
+        mapper=None,
+        batch_size=2,
+        sampler="RepeatFactorTrainingSampler",
+    ),
+    tests=[],
+)

@@ -1,0 +1,26 @@
+# EVA-02-CLIP ViT-L backbone (reference: configs/common/backbone/vitl_eva02_clip.py
+# — 1024d/24L/16H, window 32, subln + naiveswiglu, pretrain 336)
+from ape_tpu.config import L
+from ape_tpu.modeling.backbone.eva_vit import EVAViT, SimpleFeaturePyramid
+
+backbone = L(SimpleFeaturePyramid)(
+    net=L(EVAViT)(
+        img_size=1024,
+        patch_size=16,
+        embed_dim=1024,
+        depth=24,
+        num_heads=16,
+        mlp_ratio=4 * 2 / 3,
+        window_size=32,
+        window_block_indexes=tuple(
+            i for i in range(24) if (i + 1) % 3 != 0
+        ),
+        pretrain_img_size=336,
+        pt_hw_seq_len=16,
+        subln=True,
+        inner_attn_ln=True,
+        swiglu_subln=True,
+        drop_path_rate=0.4,
+    ),
+    out_channels=256,
+)
