@@ -45,10 +45,21 @@ def box_iou_xyxy(a: np.ndarray, b: np.ndarray, iscrowd: Optional[np.ndarray] = N
 
 def mask_iou(dets: List, gts: List, iscrowd: Optional[np.ndarray] = None) -> np.ndarray:
     """RLE/binary-mask IoU matrix."""
-    from ape_tpu.data.transforms import rle_decode
+    from ape_tpu.data.transforms import polygons_to_mask, rle_decode
+
+    hw = [None]
 
     def to_mask(m):
-        return rle_decode(m) if isinstance(m, dict) else np.asarray(m, bool)
+        if isinstance(m, dict):
+            out = rle_decode(m)
+        elif isinstance(m, list):  # COCO polygon list (rasterized at det size)
+            assert hw[0] is not None, "polygon GT needs a dense det mask for sizing"
+            out = polygons_to_mask(m, *hw[0])
+        else:
+            out = np.asarray(m, bool)
+        if hw[0] is None:
+            hw[0] = out.shape
+        return out
 
     dm = [to_mask(m) for m in dets]
     gm = [to_mask(m) for m in gts]

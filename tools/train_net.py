@@ -198,18 +198,52 @@ def do_train(args, cfg):
 
 
 def do_test(args, cfg):
-    from ape_tpu.config import instantiate
+    import jax
+    import jax.numpy as jnp
+
+    from ape_tpu.config import ConfigDict, instantiate
     from ape_tpu.data.catalog import DatasetCatalog
+    from ape_tpu.engine.ape_wrapper import APE
+    from ape_tpu.evaluation.eval_runner import evaluate_dataset
+    from ape_tpu.evaluation.other_evals import aggregate_benchmark_suite
+    from ape_tpu.modeling.text.wrapper import EVA02CLIP
+
+    tests = cfg.dataloader.get("tests", [])
+    names = [t["dataset_name"] for t in tests if t["dataset_name"] in DatasetCatalog]
+    if not names:
+        logger.warning("no registered eval datasets; nothing to evaluate")
+        return {}
+
+    model = instantiate(ConfigDict(model=cfg.model))["model"]
+    img = int(cfg.train.get("image_size", 1024))
+    num_text = int(cfg.train.get("num_text", 80))
+    text_dim = int(cfg.train.get("text_dim", 1024))
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, img, img, 3)),
+        jnp.asarray([[img, img]], jnp.int32),
+        jnp.zeros((1, num_text, text_dim)),
+        jnp.ones((1, num_text), bool),
+    )["params"]
+    init = cfg.train.get("init_checkpoint", "")
+    if init:
+        from ape_tpu.checkpoint.convert import load_params_tolerant
+
+        params = load_params_tolerant(init, params)
+    lang = EVA02CLIP(**dict(cfg.get("language", {}) or {}))
+    ape = APE(model, params, lang, dataset_names=names, max_text=num_text)
 
     results = {}
-    for test_cfg in cfg.dataloader.get("tests", []):
-        name = test_cfg["dataset_name"]
+    for t in tests:
+        name = t["dataset_name"]
         if name not in DatasetCatalog:
-            logger.warning(f"dataset {name} not registered; skipping eval")
+            logger.warning(f"dataset {name} not registered; skipping")
             continue
-        logger.info(f"evaluating {name} — wire APE wrapper + evaluators")
-        # full eval wiring lives in ape_tpu/engine (inference_on_dataset);
-        # requires datasets on disk.
+        mapper = instantiate(t["mapper"]) if t.get("mapper") is not None else None
+        iou_types = ("bbox", "segm") if cfg.model.get("mask_on", True) else ("bbox",)
+        results[name] = evaluate_dataset(ape, name, mapper, iou_types)
+        logger.info(f"{name}: {results[name]}")
+    results.update(aggregate_benchmark_suite(results))
     return results
 
 
