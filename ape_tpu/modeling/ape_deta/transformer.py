@@ -169,38 +169,41 @@ def deta_first_stage_select(
         score = jnp.where(valid, jax.nn.sigmoid(logit), NEG_INF)
         boxes = jnp.clip(box_cxcywh_to_xyxy(jax.nn.sigmoid(bx_unact)), 0.0, 1.0)
 
-        # per-level pre-NMS top-k -> candidate mask
-        cand = jnp.zeros((s,), bool)
+        # per-level pre-NMS top-k, COMPACTED: the sequential greedy NMS must run
+        # over <= sum(min(pre_nms_topk, HW_l)) candidates, never all S tokens
+        cand_idx = []
         for lvl, (h, w) in enumerate(spatial_shapes):
             k = min(pre_nms_topk, h * w)
             lvl_score = jax.lax.dynamic_slice_in_dim(score, starts[lvl], h * w)
             _, idx = jax.lax.top_k(lvl_score, k)
-            cand = jax.lax.dynamic_update_slice_in_dim(
-                cand, jnp.zeros((h * w,), bool).at[idx].set(True), starts[lvl], axis=0
-            )
-        cand = cand & valid
+            cand_idx.append(idx + starts[lvl])
+        cand_idx = jnp.concatenate(cand_idx)  # (C,) global indices
+        c_boxes = boxes[cand_idx]
+        c_score = score[cand_idx]
+        c_valid = valid[cand_idx]
+        c_level = level_ids[cand_idx]
 
-        kept = batched_nms_mask(boxes, score, level_ids, nms_thresh, valid=cand)
+        kept = batched_nms_mask(c_boxes, c_score, c_level, nms_thresh, valid=c_valid)
 
         # level-balanced selection among kept, by score order
-        order = jnp.argsort(-jnp.where(kept, score, NEG_INF))
-        lvl_sorted = level_ids[order]
+        order = jnp.argsort(-jnp.where(kept, c_score, NEG_INF))
+        lvl_sorted = c_level[order]
         kept_sorted = kept[order]
         onehot = jax.nn.one_hot(lvl_sorted, num_levels, dtype=jnp.int32)
         rank_in_level = jnp.cumsum(onehot * kept_sorted[:, None].astype(jnp.int32), 0)
         my_rank = jnp.take_along_axis(rank_in_level, lvl_sorted[:, None], 1)[:, 0]
         balanced_sorted = kept_sorted & (my_rank <= q_per_l)
-        balanced = jnp.zeros((s,), bool).at[order].set(balanced_sorted)
+        balanced = jnp.zeros_like(kept).at[order].set(balanced_sorted)
 
         # priority fill: balanced > kept > rest, by score within each class
         prio = (
             balanced.astype(jnp.float32) * 4.0
             + kept.astype(jnp.float32) * 2.0
-            + jax.nn.sigmoid(jnp.where(valid, logit, NEG_INF))
+            + jax.nn.sigmoid(jnp.where(c_valid, logit[cand_idx], NEG_INF))
         )
-        prio = jnp.where(valid, prio, NEG_INF)
-        _, sel = jax.lax.top_k(prio, topk)
-        return sel
+        prio = jnp.where(c_valid, prio, NEG_INF)
+        _, sel_c = jax.lax.top_k(prio, topk)
+        return cand_idx[sel_c]
 
     return jax.vmap(one)(logits, boxes_unact, proposal_valid)
 
