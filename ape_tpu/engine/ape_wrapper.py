@@ -127,8 +127,20 @@ class APE:
 
             res: Dict = {"image_id": inp.get("image_id", 0)}
             if self.instance_on:
+                # instance path sees only thing classes when the vocabulary has
+                # an explicit thing/stuff split (segm_vl.py:578-591)
+                inst_valid = tvalid[0]
+                if 0 <= self.eval_dataset_id < len(self.metadata_list) and not inp.get(
+                    "text_prompt"
+                ):
+                    meta = self.metadata_list[self.eval_dataset_id]
+                    n_thing = len(meta.get("thing_classes", []) or [])
+                    if n_thing and n_thing < len(text_list):
+                        inst_valid = inst_valid & (
+                            jnp.arange(inst_valid.shape[0]) < n_thing
+                        )
                 inst = self._post_instance(
-                    out["pred_logits"][0], out["pred_boxes"][0], sizes[0], tvalid[0]
+                    out["pred_logits"][0], out["pred_boxes"][0], sizes[0], inst_valid
                 )
                 inst = {k: np.asarray(v) for k, v in inst.items()}
                 keep = inst["valid"]

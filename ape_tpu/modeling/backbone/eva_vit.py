@@ -103,9 +103,24 @@ class Attention(nn.Module):
             q = apply_rope(q, rope_cos.astype(q.dtype), rope_sin.astype(q.dtype))
             k = apply_rope(k, rope_cos.astype(k.dtype), rope_sin.astype(k.dtype))
 
-        attn = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        # flash attention for long global blocks on TPU (replaces the reference's
+        # xformers/SDPA paths, vit_eva02.py:270-286); einsum otherwise
+        use_flash = (
+            jax.default_backend() == "tpu"
+            and n >= 2048
+            and n % 512 == 0
+            and head_dim in (32, 64, 128)
+        )
+        if use_flash:
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                flash_attention,
+            )
+
+            out = flash_attention(q, k, v, sm_scale=scale)
+        else:
+            attn = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k)
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(v.dtype)
+            out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, self.dim)
 
         if self.inner_attn_ln:
