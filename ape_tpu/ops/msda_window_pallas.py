@@ -74,6 +74,7 @@ def _pair_kernel(
     vp_hbm,  # full (B, sy, sx, Hpp, Wpp, C) in ANY; C lane order h-major (h*D + d)
     out_ref,  # (1, tq, tw, C)
     vtile,  # VMEM scratch
+    acc_ref,  # VMEM scratch (tq, tw, C) f32 accumulator
     sem,
     *,
     geom,
@@ -94,14 +95,16 @@ def _pair_kernel(
 
     rows_q = tq // inv_y  # value rows covered by the query tile
     cols_q = tw // inv_x
+    tile_rows = rows_q + gy["halo"]
+    tile_cols = -(-(cols_q + gx["halo"]) // 8) * 8  # sublane-dim slices: 8-aligned
 
     copy = pltpu.make_async_copy(
         vp_hbm.at[
             b,
             :,
             :,
-            pl.ds(ty * rows_q, rows_q + gy["halo"]),
-            pl.ds(tx * cols_q, cols_q + gx["halo"]),
+            pl.ds(ty * rows_q, tile_rows),
+            pl.ds(tx * cols_q, tile_cols),
             :,
         ],
         vtile,
@@ -131,29 +134,52 @@ def _pair_kernel(
     copy.wait()
 
     c = out_ref.shape[-1]
-    acc = jnp.zeros((tq, tw, c), jnp.float32)
-    for v in range(win):
-        hy = _hat(v - py)  # (tq, tw, P*H)
+
+    # Rolled loop over v (row shifts) with static unroll over u (col shifts).
+    # The accumulator lives in a scratch ref and every (u) step stores into it:
+    # carrying it as an SSA value made Mosaic allocate the 11 unrolled bodies'
+    # temporaries side by side (~88MB of scoped VMEM).
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # weight expansion matrix for the MXU: (tq,tw,H) -> (tq,tw,C) where value
+    # lanes are d-major (lane = d*H + h): E[i, j] = 1 iff j % H == i
+    ecols = jax.lax.broadcasted_iota(jnp.int32, (h, c), 1)
+    erows = jax.lax.broadcasted_iota(jnp.int32, (h, c), 0)
+    expand = (ecols % h == erows).astype(jnp.float32)
+
+    def v_body(v, _):
+        hy = _hat(v.astype(jnp.float32) - py)  # (tq, tw, P*H)
         ahy = att * hy
         phi_y = (gy["int_off"] + v) % sy
         dy = (gy["int_off"] + v) // sy
+        rows_v = vtile[phi_y, :, pl.ds(dy, rows_q), :, :]  # (sx, rows_q, TC, C)
         for u in range(win):
             hx = _hat(u - px)
-            whp = ahy * hx  # (tq, tw, P*H)
+            whp = ahy * hx
             # sum over points: p-major lane layout -> contiguous slices of H
             w = whp[..., 0:h]
             for pp in range(1, p):
                 w = w + whp[..., pp * h : (pp + 1) * h]
-            # expand (tq, tw, H) -> (tq, tw, H*D): value lanes are h-major
-            w = pltpu.repeat(w, head_dim, axis=2)
+            w = jax.lax.dot_general(
+                w, expand,
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (tq, tw, C), no reshape relayouts
             phi_x = (gx["int_off"] + u) % sx
             dx = (gx["int_off"] + u) // sx
-            view = vtile[phi_y, phi_x, pl.ds(dy, rows_q), pl.ds(dx, cols_q), :]
+            view = rows_v[phi_x, :, dx : dx + cols_q, :]
             if inv_y > 1:
                 view = jnp.repeat(view, inv_y, axis=0)
             if inv_x > 1:
                 view = jnp.repeat(view, inv_x, axis=1)
-            acc = acc + w * view
+            # per-u ref store: Mosaic does NOT reuse stack slots across the
+            # unrolled u bodies, so SSA accumulation allocates all 11 (w, view)
+            # temporaries side by side and OOMs scoped VMEM on coarse pairs
+            acc_ref[:] = acc_ref[:] + w * view
+        return 0
+
+    jax.lax.fori_loop(0, win, v_body, 0)
+    acc = acc_ref[:]
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
@@ -178,21 +204,55 @@ def _run_pair(value_level, off_pair, att_pair, hq, wq, hv, wv, radius, heads, he
     vp = _phase_decompose(vpad, sy, sx)  # (B, sy, sx, Hpp, Wpp, C)
     hpp, wpp = vp.shape[3], vp.shape[4]
 
-    # query tile sizes: keep the halo'd value tile ~O(2MB)
+    # query tile sizes: keep the halo'd value tile ~O(2MB); the DMA slice's
+    # column start/shape must be 8-aligned, so tw is a multiple of 8 when the
+    # value is finer/same in x, and coarser-x pairs use ONE full-width x tile
     tq = max(1, min(32, 256 // max(sy, 1), hq))
-    tw = max(8, min(128, 1024 // max(sx, 1), wq))
     tq = min(tq, hq)
-    tw = min(tw, wq)
     while hq % tq:
         tq //= 2
-    while wq % tw:
-        tw //= 2
+    if gx["inv"] > 1:
+        tw = wq  # single x tile: col start 0, full value width
+    else:
+        tw = max(8, min(128, 1024 // max(sx, 1), wq))
+        tw = min(tw, wq)
+        while wq % tw:
+            tw //= 2
+        assert tw % 8 == 0 or tw == wq, (tw, wq)
     rows_q = tq // gy["inv"] if gy["inv"] > 1 else tq
     cols_q = tw // gx["inv"] if gx["inv"] > 1 else tw
-    # guarantee whole value rows per tile in the coarser case
     assert tq % gy["inv"] == 0 and tw % gx["inv"] == 0, (tq, tw, gy["inv"], gx["inv"])
 
-    # in-phase bounds check (access max row = hq-1 + halo + 1)
+    # shrink tiles until the VMEM working set (halo'd scratch + double-buffered
+    # in/out blocks) fits comfortably under the ~16MB/core budget
+    def _vmem_bytes(tq_, tw_):
+        rq = tq_ // gy["inv"] if gy["inv"] > 1 else tq_
+        cq = tw_ // gx["inv"] if gx["inv"] > 1 else tw_
+        tc = -(-(cq + gx["halo"]) // 8) * 8
+        scratch = sy * sx * (rq + gy["halo"]) * tc * c * 4
+        blocks = tq_ * tw_ * (3 * heads * num_points + c) * 4 * 2  # double-buffered
+        return scratch + blocks
+
+    min_tq = max(1, gy["inv"])  # rows_q must stay >= 1 and tq a multiple of inv_y
+    while _vmem_bytes(tq, tw) > 4 * 1024 * 1024:
+        tw_ok = gx["inv"] == 1 or (
+            (tw // 2) % gx["inv"] == 0 and ((tw // 2) // gx["inv"]) % 8 == 0
+        )  # coarse-x tiles keep 8-aligned column starts
+        if tw > 8 and (tw >= tq or tq <= min_tq) and tw_ok:
+            tw //= 2
+        elif tq > min_tq and (tq // 2) % min_tq == 0:
+            tq //= 2
+        else:
+            break
+    rows_q = tq // gy["inv"] if gy["inv"] > 1 else tq
+    cols_q = tw // gx["inv"] if gx["inv"] > 1 else tw
+
+    tile_cols = -(-(cols_q + gx["halo"]) // 8) * 8
+    # pad the phase planes so every tile's DMA stays in bounds
+    need_w = (wq // max(gx["inv"], 1) // cols_q - 1) * cols_q + tile_cols if cols_q else tile_cols
+    if wpp < need_w:
+        vp = jnp.pad(vp, ((0, 0),) * 4 + ((0, need_w - wpp),) + ((0, 0),))
+        wpp = need_w
     assert hpp >= hq // gy["inv"] + gy["halo"], (hpp, hq, gy)
     assert wpp >= wq // gx["inv"] + gx["halo"], (wpp, wq, gx)
 
@@ -227,15 +287,17 @@ def _run_pair(value_level, off_pair, att_pair, hq, wq, hv, wv, radius, heads, he
             pl.BlockSpec(
                 (1, tq, tw, ph), lambda bb, ty, tx: (bb, ty, tx, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(
             (1, tq, tw, c), lambda bb, ty, tx: (bb, ty, tx, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM(
-                (sy, sx, rows_q + gy["halo"], cols_q + gx["halo"], c), jnp.float32
+                (sy, sx, rows_q + gy["halo"], -(-(cols_q + gx["halo"]) // 8) * 8, c),
+                jnp.float32,
             ),
+            pltpu.VMEM((tq, tw, c), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,

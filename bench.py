@@ -36,9 +36,18 @@ def main():
     text = jnp.asarray(rng.randn(1, NUM_TEXT, 1024), jnp.float32)
     text_valid = jnp.ones((1, NUM_TEXT), bool)
 
-    params = model.init(jax.random.PRNGKey(0), images, image_sizes, text, text_valid)[
-        "params"
-    ]
+    # synthesize params from shapes only: model.init would compile the whole
+    # forward a second time through the slow remote-compile tunnel
+    shapes = jax.eval_shape(
+        lambda r: model.init(r, images, image_sizes, text, text_valid),
+        jax.random.PRNGKey(0),
+    )["params"]
+    prng = np.random.RandomState(0)
+
+    def synth(s):
+        return jnp.asarray(prng.normal(0, 0.02, s.shape).astype(s.dtype))
+
+    params = jax.tree.map(synth, shapes)
 
     @jax.jit
     def fwd(params, images, image_sizes, text, text_valid):
