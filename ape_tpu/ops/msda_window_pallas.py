@@ -234,7 +234,7 @@ def _run_pair(value_level, off_pair, att_pair, hq, wq, hv, wv, radius, heads, he
         return scratch + blocks
 
     min_tq = max(1, gy["inv"])  # rows_q must stay >= 1 and tq a multiple of inv_y
-    while _vmem_bytes(tq, tw) > 4 * 1024 * 1024:
+    while _vmem_bytes(tq, tw) > 2 * 1024 * 1024 + 512 * 1024:
         tw_ok = gx["inv"] == 1 or (
             (tw // 2) % gx["inv"] == 0 and ((tw // 2) // gx["inv"]) % 8 == 0
         )  # coarse-x tiles keep 8-aligned column starts
