@@ -64,6 +64,88 @@ def _hat(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(0.0, 1.0 - jnp.abs(x))
 
 
+def xla_pair(
+    v_l: jnp.ndarray,  # (B, Hv, Wv, H, D) ONE value level, already compute dtype
+    o: jnp.ndarray,  # (B, Hq, Wq, H, P, 2) clipped pixel offsets for this pair
+    a: jnp.ndarray,  # (B, Hq, Wq, H, P)
+    hq: int,
+    wq: int,
+    hv: int,
+    wv: int,
+    radius: int,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """One (query level, value level) pair of the window shift-FMA in pure XLA.
+
+    Shared by the full XLA implementation below and as the fallback for pair
+    shapes the Pallas kernel cannot tile (extreme coarse expansion factors).
+    Returns (B, Hq, Wq, H, D).
+    """
+    b = v_l.shape[0]
+    h, d = v_l.shape[3], v_l.shape[4]
+    pad = radius + 1
+    win = 2 * radius + 3
+    vpad = jnp.pad(v_l, ((0, 0), (pad, pad), (pad, pad), (0, 0), (0, 0)))
+
+    if wv >= wq:
+        sx, inv_x = wv // wq, 1
+        int_x, rem_x = (sx // 2 - 1, 0.5) if sx > 1 else (0, 0.0)
+    else:
+        sx, inv_x = 1, wq // wv
+        int_x = 0
+        qx = jnp.arange(wq, dtype=compute_dtype)
+        rem_x = ((qx % inv_x) + 0.5) / inv_x - 0.5  # (Wq,)
+    if hv >= hq:
+        sy, inv_y = hv // hq, 1
+        int_y, rem_y = (sy // 2 - 1, 0.5) if sy > 1 else (0, 0.0)
+    else:
+        sy, inv_y = 1, hq // hv
+        int_y = 0
+        qy = jnp.arange(hq, dtype=compute_dtype)
+        rem_y = ((qy % inv_y) + 0.5) / inv_y - 0.5  # (Hq,)
+
+    # sample positions relative to window corner 0: (B,Hq,Wq,H,P)
+    px = o[..., 0] + pad
+    py = o[..., 1] + pad
+    if isinstance(rem_x, jnp.ndarray):
+        px = px + rem_x.reshape(1, 1, wq, 1, 1)
+    else:
+        px = px + rem_x
+    if isinstance(rem_y, jnp.ndarray):
+        py = py + rem_y.reshape(1, hq, 1, 1, 1)
+    else:
+        py = py + rem_y
+
+    def view(uu, vv):
+        """Value window at corner (uu, vv) aligned to the query grid."""
+        v0 = vv + int_y
+        u0 = uu + int_x
+        if inv_y == 1:
+            rows = jax.lax.slice_in_dim(
+                vpad, v0, v0 + (hq - 1) * sy + 1, stride=sy, axis=1
+            )
+        else:
+            rows = jax.lax.slice_in_dim(vpad, v0, v0 + hv, axis=1)
+            rows = jnp.repeat(rows, inv_y, axis=1)
+        if inv_x == 1:
+            cols = jax.lax.slice_in_dim(
+                rows, u0, u0 + (wq - 1) * sx + 1, stride=sx, axis=2
+            )
+        else:
+            cols = jax.lax.slice_in_dim(rows, u0, u0 + wv, axis=2)
+            cols = jnp.repeat(cols, inv_x, axis=2)
+        return cols  # (B, Hq, Wq, H, D)
+
+    acc = jnp.zeros((b, hq, wq, h, d), dtype=compute_dtype)
+    for uu in range(win):
+        hx = _hat(uu - px)  # (B,Hq,Wq,H,P)
+        ax = a * hx
+        for vv in range(win):
+            w_uv = jnp.sum(ax * _hat(vv - py), axis=-1)  # (B,Hq,Wq,H)
+            acc = acc + w_uv[..., None] * view(uu, vv)
+    return acc
+
+
 def ms_deform_attn_window(
     value: jnp.ndarray,
     spatial_shapes: Sequence[Tuple[int, int]],
@@ -93,7 +175,6 @@ def ms_deform_attn_window(
     for lv, (hv, wv) in enumerate(spatial_shapes):
         v_l = jax.lax.dynamic_slice_in_dim(value, starts[lv], hv * wv, axis=1)
         v_l = v_l.reshape(b, hv, wv, h, d).astype(compute_dtype)
-        vpad = jnp.pad(v_l, ((0, 0), (pad, pad), (pad, pad), (0, 0), (0, 0)))
 
         pieces = []
         for lq, (hq, wq) in enumerate(spatial_shapes):
@@ -103,64 +184,7 @@ def ms_deform_attn_window(
             a = jax.lax.dynamic_slice_in_dim(aw, starts[lq], hq * wq, axis=1)[
                 :, :, :, lv
             ].reshape(b, hq, wq, h, p)
-
-            # --- static grid map (x axis) ---
-            if wv >= wq:
-                sx, inv_x = wv // wq, 1
-                int_x, rem_x = (sx // 2 - 1, 0.5) if sx > 1 else (0, 0.0)
-            else:
-                sx, inv_x = 1, wq // wv
-                int_x = 0
-                qx = jnp.arange(wq, dtype=compute_dtype)
-                rem_x = ((qx % inv_x) + 0.5) / inv_x - 0.5  # (Wq,)
-            if hv >= hq:
-                sy, inv_y = hv // hq, 1
-                int_y, rem_y = (sy // 2 - 1, 0.5) if sy > 1 else (0, 0.0)
-            else:
-                sy, inv_y = 1, hq // hv
-                int_y = 0
-                qy = jnp.arange(hq, dtype=compute_dtype)
-                rem_y = ((qy % inv_y) + 0.5) / inv_y - 0.5  # (Hq,)
-
-            # sample positions relative to window corner 0: (B,Hq,Wq,H,P)
-            px = off_x = o[..., 0] + pad
-            py = off_y = o[..., 1] + pad
-            if isinstance(rem_x, jnp.ndarray):
-                px = px + rem_x.reshape(1, 1, wq, 1, 1)
-            else:
-                px = px + rem_x
-            if isinstance(rem_y, jnp.ndarray):
-                py = py + rem_y.reshape(1, hq, 1, 1, 1)
-            else:
-                py = py + rem_y
-
-            def view(uu, vv):
-                """Value window at corner (uu, vv) aligned to the query grid."""
-                v0 = vv + int_y
-                u0 = uu + int_x
-                if inv_y == 1:
-                    rows = jax.lax.slice_in_dim(
-                        vpad, v0, v0 + (hq - 1) * sy + 1, stride=sy, axis=1
-                    )
-                else:
-                    rows = jax.lax.slice_in_dim(vpad, v0, v0 + hv, axis=1)
-                    rows = jnp.repeat(rows, inv_y, axis=1)
-                if inv_x == 1:
-                    cols = jax.lax.slice_in_dim(
-                        rows, u0, u0 + (wq - 1) * sx + 1, stride=sx, axis=2
-                    )
-                else:
-                    cols = jax.lax.slice_in_dim(rows, u0, u0 + wv, axis=2)
-                    cols = jnp.repeat(cols, inv_x, axis=2)
-                return cols  # (B, Hq, Wq, H, D)
-
-            acc = jnp.zeros((b, hq, wq, h, d), dtype=compute_dtype)
-            for uu in range(win):
-                hx = _hat(uu - px)  # (B,Hq,Wq,H,P)
-                ax = a * hx
-                for vv in range(win):
-                    w_uv = jnp.sum(ax * _hat(vv - py), axis=-1)  # (B,Hq,Wq,H)
-                    acc = acc + w_uv[..., None] * view(uu, vv)
+            acc = xla_pair(v_l, o, a, hq, wq, hv, wv, r, compute_dtype)
             pieces.append(acc.reshape(b, hq * wq, h, d))
 
         if out_pieces is None:

@@ -153,6 +153,11 @@ def _pair_kernel(
         phi_y = (gy["int_off"] + v) % sy
         dy = (gy["int_off"] + v) // sy
         rows_v = vtile[phi_y, :, pl.ds(dy, rows_q), :, :]  # (sx, rows_q, TC, C)
+        if inv_y > 1 or inv_x > 1:
+            # expand ONCE per v (per-u repeats left 11 2MB temporaries live at
+            # once); u-shifts become inv_x-aligned slices of the expanded tile
+            rows_v = jnp.repeat(rows_v, inv_y, axis=1) if inv_y > 1 else rows_v
+            rows_v = jnp.repeat(rows_v, inv_x, axis=2) if inv_x > 1 else rows_v
         for u in range(win):
             hx = _hat(u - px)
             whp = ahy * hx
@@ -167,11 +172,7 @@ def _pair_kernel(
             )  # (tq, tw, C), no reshape relayouts
             phi_x = (gx["int_off"] + u) % sx
             dx = (gx["int_off"] + u) // sx
-            view = rows_v[phi_x, :, dx : dx + cols_q, :]
-            if inv_y > 1:
-                view = jnp.repeat(view, inv_y, axis=0)
-            if inv_x > 1:
-                view = jnp.repeat(view, inv_x, axis=1)
+            view = rows_v[phi_x, :, dx * inv_x : dx * inv_x + tw, :]
             # per-u ref store: Mosaic does NOT reuse stack slots across the
             # unrolled u bodies, so SSA accumulation allocates all 11 (w, view)
             # temporaries side by side and OOMs scoped VMEM on coarse pairs
@@ -337,10 +338,26 @@ def ms_deform_attn_window_pallas(
             att_pair = jax.lax.dynamic_slice_in_dim(att32, starts[lq], hq * wq, axis=1)[
                 :, :, :, lv
             ]
-            part = _run_pair(
-                v_l, off_pair, att_pair, hq, wq, hv, wv, radius, h, d, p,
-                interpret=interpret,
-            )
+            inv_y = max(hq // max(hv, 1), 1)
+            inv_x = max(wq // max(wv, 1), 1)
+            if inv_y * inv_x >= 64:
+                # extreme coarse expansion: the kernel's expanded value tile
+                # cannot fit VMEM at the alignment-mandated minimum tile sizes;
+                # the value grid is tiny, so the XLA shift-FMA is cheap here
+                from ape_tpu.ops.msda_window import xla_pair
+
+                o = jnp.clip(off_pair, -radius, radius).reshape(b, hq, wq, h, p, 2)
+                a = att_pair.reshape(b, hq, wq, h, p)
+                # v_l is in the kernel's d-major layout -> back to (..., H, D)
+                vl5 = v_l.reshape(b, hv, wv, d, h).transpose(0, 1, 2, 4, 3)
+                part = xla_pair(vl5, o, a, hq, wq, hv, wv, radius)
+                # back to d-major flat for summation with kernel partials
+                part = part.transpose(0, 1, 2, 4, 3).reshape(b, hq * wq, h * d)
+            else:
+                part = _run_pair(
+                    v_l, off_pair, att_pair, hq, wq, hv, wv, radius, h, d, p,
+                    interpret=interpret,
+                )
             out_per_qlevel[lq] = part if out_per_qlevel[lq] is None else out_per_qlevel[lq] + part
 
     out = jnp.concatenate(out_per_qlevel, axis=1)
