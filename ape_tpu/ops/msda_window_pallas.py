@@ -84,6 +84,8 @@ def _pair_kernel(
     tq,
     tw,
     radius,
+    single_x,
+    single_y,
 ):
     gy, gx = geom["y"], geom["x"]
     win = geom["win"]
@@ -98,13 +100,17 @@ def _pair_kernel(
     tile_rows = rows_q + gy["halo"]
     tile_cols = -(-(cols_q + gx["halo"]) // 8) * 8  # sublane-dim slices: 8-aligned
 
+    # static 0 when the axis has a single tile: Mosaic must PROVE the column
+    # start is 8-aligned and cannot infer that program_id is always 0
+    col_start = 0 if single_x else pl.multiple_of(tx * cols_q, 8)
+    row_start = 0 if single_y else ty * rows_q
     copy = pltpu.make_async_copy(
         vp_hbm.at[
             b,
             :,
             :,
-            pl.ds(ty * rows_q, tile_rows),
-            pl.ds(tx * cols_q, tile_cols),
+            pl.ds(row_start, tile_rows),
+            pl.ds(col_start, tile_cols),
             :,
         ],
         vtile,
@@ -248,6 +254,7 @@ def _run_pair(value_level, off_pair, att_pair, hq, wq, hv, wv, radius, heads, he
     rows_q = tq // gy["inv"] if gy["inv"] > 1 else tq
     cols_q = tw // gx["inv"] if gx["inv"] > 1 else tw
 
+    assert (wq // tw) == 1 or cols_q % 8 == 0, (wq, tw, cols_q)
     tile_cols = -(-(cols_q + gx["halo"]) // 8) * 8
     # pad the phase planes so every tile's DMA stays in bounds
     need_w = (wq // max(gx["inv"], 1) // cols_q - 1) * cols_q + tile_cols if cols_q else tile_cols
@@ -273,6 +280,8 @@ def _run_pair(value_level, off_pair, att_pair, hq, wq, hv, wv, radius, heads, he
         tq=tq,
         tw=tw,
         radius=radius,
+        single_x=(wq // tw) == 1,
+        single_y=(hq // tq) == 1,
     )
     out = pl.pallas_call(
         kernel,
