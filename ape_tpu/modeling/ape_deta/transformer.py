@@ -403,6 +403,7 @@ class DeformableTransformerDecoder(nn.Module):
         inter_states = []
         output_coords = []
         refs = reference_points
+        prev_live = reference_points
         for i in range(self.num_layers):
             if refs.shape[-1] == 4:
                 ref_input = refs[:, :, None, :] * jnp.concatenate(
@@ -423,8 +424,16 @@ class DeformableTransformerDecoder(nn.Module):
             delta = self.bbox_embed[i](x)
             new_refs = jax.nn.sigmoid(delta + inverse_sigmoid(refs))
             inter_states.append(x)
-            # box output: gradient flows through new_refs (look_forward_twice)
-            output_coords.append(new_refs if self.look_forward_twice else new_refs)
+            # look_forward_twice (reference deformable_transformer_vl.py:245-251
+            # + deformable_detr.py box head): the layer-i box is predicted on
+            # top of the PREVIOUS layer's un-detached refinement, so gradient
+            # flows through delta_i AND delta_{i-1} ("twice"). Forward values
+            # are identical in both arms (the bases differ only by detachment).
+            if self.look_forward_twice:
+                output_coords.append(jax.nn.sigmoid(delta + inverse_sigmoid(prev_live)))
+            else:
+                output_coords.append(new_refs)
+            prev_live = new_refs
             refs = jax.lax.stop_gradient(new_refs)
 
         return (

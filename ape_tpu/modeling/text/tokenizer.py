@@ -1,4 +1,11 @@
-"""CLIP byte-level BPE tokenizer, implemented from scratch.
+"""CLIP byte-level BPE tokenizer.
+
+Attribution: the BPE internals (``bytes_to_unicode``, ``get_pairs``, the merge
+loop in ``BPETokenizer.bpe``) follow OpenAI CLIP's MIT-licensed
+``SimpleTokenizer`` algorithm — bit-compatibility with CLIP checkpoints
+requires the exact merge procedure, and the reference vendors the same
+third-party file (ape/modeling/text/eva02_clip/tokenizer.py). The surrounding
+wrapper (vocab handling, caching, fallback) is ours.
 
 Capability match: the vendored CLIP SimpleTokenizer used by
 EVA02CLIP (/root/reference/ape/modeling/text/eva02_clip/tokenizer.py behavior):
@@ -62,13 +69,20 @@ def whitespace_clean(text: str) -> str:
 class BPETokenizer:
     """CLIP-compatible byte-level BPE."""
 
-    PAT = re.compile(
-        r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",
-        re.IGNORECASE,
-    ) if False else re.compile(
-        r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+""",
-        re.IGNORECASE,
-    )
+    # CLIP's pattern uses \p{L}/\p{N}; the `regex` module supports them
+    # directly so non-ASCII prompts tokenize identically to the reference.
+    try:
+        import regex as _regex
+
+        PAT = _regex.compile(
+            r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",
+            _regex.IGNORECASE,
+        )
+    except ImportError:  # pragma: no cover - regex is in the baked image
+        PAT = re.compile(
+            r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[^\W\d_]+|\d|[^\s\w]+""",
+            re.IGNORECASE | re.UNICODE,
+        )
 
     def __init__(self, bpe_path: str):
         self.byte_encoder = bytes_to_unicode()
@@ -133,7 +147,7 @@ class BPETokenizer:
     def encode(self, text: str) -> List[int]:
         tokens: List[int] = []
         text = whitespace_clean(basic_clean(text)).lower()
-        for tok in re.findall(self.PAT, text):
+        for tok in self.PAT.findall(text):
             tok = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
             tokens.extend(self.encoder[t] for t in self.bpe(tok).split(" "))
         return tokens

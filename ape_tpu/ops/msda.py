@@ -121,22 +121,17 @@ def ms_deform_attn(
     return out.reshape(b, q, h * d)
 
 
-@functools.partial(jax.jit, static_argnames=("spatial_shapes", "query_chunk", "impl"))
+@functools.partial(jax.jit, static_argnames=("spatial_shapes", "query_chunk"))
 def ms_deform_attn_jit(
     value,
     spatial_shapes,
     sampling_locations,
     attention_weights,
     query_chunk=None,
-    impl="xla",
 ):
-    """jitted entry with implementation dispatch ("xla" | "pallas")."""
-    if impl == "pallas":
-        from ape_tpu.ops.msda_pallas import ms_deform_attn_pallas
-
-        return ms_deform_attn_pallas(
-            value, spatial_shapes, sampling_locations, attention_weights
-        )
+    """jitted exact-gather entry (the TPU production paths live in
+    ops/msda_dispatch.py for the encoder and ops/msda_decoder.py for the
+    decoder; this is the correctness oracle)."""
     return ms_deform_attn(
         value, spatial_shapes, sampling_locations, attention_weights, query_chunk
     )

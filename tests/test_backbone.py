@@ -1,5 +1,9 @@
 """EVA ViT backbone tests: utils correctness vs torch oracles + shape/variant checks."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import pytest
 

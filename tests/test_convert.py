@@ -1,6 +1,10 @@
 """Checkpoint converter: build a reference-style torch state dict from our own
 param shapes, convert, and check coverage + layout correctness."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 
 import jax

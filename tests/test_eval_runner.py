@@ -1,5 +1,9 @@
 """Integration: registered COCO-format dataset -> APE wrapper -> COCO AP numbers."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 
 import jax

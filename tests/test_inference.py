@@ -1,5 +1,9 @@
 """End-to-end inference path: APE wrapper + DefaultPredictor + postprocess."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 
 import jax

@@ -1,5 +1,9 @@
 """Full APEDeta model forward: shapes, finiteness, train step smoke."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 
 import jax

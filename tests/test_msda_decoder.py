@@ -1,0 +1,76 @@
+"""Dense separable-bilinear decoder MSDA vs the exact-gather oracle."""
+
+import pytest
+
+pytestmark = pytest.mark.slow
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ape_tpu.ops.msda import ms_deform_attn
+from ape_tpu.ops.msda_decoder import ms_deform_attn_dense
+
+SHAPES = ((13, 17), (7, 9), (4, 4))
+
+
+def _inputs(rng, b=2, q=31, h=4, d=8, p=4):
+    l = len(SHAPES)
+    s = sum(hh * ww for hh, ww in SHAPES)
+    v = jnp.asarray(rng.randn(b, s, h, d), jnp.float32)
+    loc = jnp.asarray(rng.uniform(-0.2, 1.2, (b, q, h, l, p, 2)), jnp.float32)
+    w = jax.nn.softmax(jnp.asarray(rng.randn(b, q, h, l * p), jnp.float32), -1)
+    return v, loc, w.reshape(b, q, h, l, p)
+
+
+def test_forward_parity(rng):
+    v, loc, w = _inputs(rng)
+    ref = ms_deform_attn(v, SHAPES, loc, w)
+    got = ms_deform_attn_dense(v, SHAPES, loc, w, precision=jax.lax.Precision.HIGHEST)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-5)
+
+
+def test_grad_parity(rng):
+    v, loc, w = _inputs(rng, q=9)
+
+    def f_ref(v, loc, w):
+        return (ms_deform_attn(v, SHAPES, loc, w) ** 2).sum()
+
+    def f_got(v, loc, w):
+        return (
+            ms_deform_attn_dense(
+                v, SHAPES, loc, w, precision=jax.lax.Precision.HIGHEST
+            )
+            ** 2
+        ).sum()
+
+    gr = jax.grad(f_ref, (0, 1, 2))(v, loc, w)
+    gg = jax.grad(f_got, (0, 1, 2))(v, loc, w)
+    for a, b_ in zip(gr, gg):
+        scale = max(1.0, float(jnp.abs(a).max()))
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=1e-4 * scale
+        )
+
+
+@pytest.mark.parametrize("row_block", [1, 3, 8, 64])
+def test_row_blocking_invariance(rng, row_block):
+    v, loc, w = _inputs(rng, q=5)
+    base = ms_deform_attn_dense(
+        v, SHAPES, loc, w, precision=jax.lax.Precision.HIGHEST
+    )
+    got = ms_deform_attn_dense(
+        v, SHAPES, loc, w, row_block=row_block, precision=jax.lax.Precision.HIGHEST
+    )
+    np.testing.assert_allclose(np.asarray(base), np.asarray(got), atol=1e-5)
+
+
+def test_out_of_range_zero_padding(rng):
+    """Samples fully outside the grid contribute exactly zero (grid_sample pad)."""
+    v, loc, w = _inputs(rng, q=4)
+    loc_out = jnp.full_like(loc, 3.0)  # all samples far outside every level
+    got = ms_deform_attn_dense(
+        v, SHAPES, loc_out, w, precision=jax.lax.Precision.HIGHEST
+    )
+    np.testing.assert_allclose(np.asarray(got), 0.0, atol=1e-7)

@@ -1,5 +1,9 @@
 """Pallas window-MSDA kernel vs the XLA window reference (interpret mode on CPU)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import pytest
 

@@ -1,5 +1,9 @@
 """Window MSDA must match exact gather MSDA when offsets are within the window."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import pytest
 

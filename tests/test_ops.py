@@ -135,3 +135,36 @@ def test_focal_loss_vs_torch(rng):
     ref = (0.25 * tt + 0.75 * (1 - tt)) * ce * (1 - p_t) ** 2
     out = np.asarray(sigmoid_focal_loss(jnp.asarray(logits), jnp.asarray(targets)))
     np.testing.assert_allclose(out, ref.numpy(), rtol=1e-4, atol=1e-6)
+
+
+def test_parallel_nms_matches_sequential(rng):
+    """Tiled parallel NMS is exact greedy (fuzz vs the one-box-per-step oracle)."""
+    import jax.numpy as jnp
+
+    from ape_tpu.ops.nms import nms_mask, nms_mask_sequential
+
+    for trial in range(8):
+        n = int(rng.choice([1, 5, 37, 200, 513]))
+        centers = rng.randn(n, 2) * rng.choice([0.5, 2.0, 10.0])
+        wh = np.abs(rng.randn(n, 2)) * 3 + 0.5
+        boxes = np.concatenate([centers - wh / 2, centers + wh / 2], 1).astype(
+            np.float32
+        )
+        scores = rng.rand(n).astype(np.float32)
+        valid = rng.rand(n) > 0.1
+        for thr in (0.3, 0.9):
+            a = np.asarray(
+                nms_mask(
+                    jnp.asarray(boxes),
+                    jnp.asarray(scores),
+                    thr,
+                    valid=jnp.asarray(valid),
+                    tile=64,
+                )
+            )
+            b = np.asarray(
+                nms_mask_sequential(
+                    jnp.asarray(boxes), jnp.asarray(scores), thr, valid=jnp.asarray(valid)
+                )
+            )
+            assert (a == b).all(), (trial, thr, n)

@@ -1,5 +1,9 @@
 """Deformable transformer tests: shapes, finiteness, first-stage select semantics."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 
 import jax
