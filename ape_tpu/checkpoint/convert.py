@@ -322,6 +322,117 @@ def convert_torch_state_dict(state_dict: Dict[str, Any]) -> Dict[str, Any]:
     return flat
 
 
+def convert_language_state_dict(state_dict: Dict[str, Any]) -> Dict[str, Any]:
+    """EVA-CLIP text tower torch keys -> flat flax dict for CLIPTextTransformer.
+
+    Reference layout (ape/modeling/text/eva02_clip/transformer.py:642-700,
+    checkpoint root ``model_language.net.``): token_embedding.weight,
+    positional_embedding, transformer.resblocks.{i}.{ln_1,attn.in_proj_*,
+    attn.out_proj,ls_2?,ln_2,mlp.c_fc,mlp.c_proj}, ln_final, text_projection.
+    """
+    flat: Dict[str, Any] = {}
+    unmatched = []
+    for name, value in state_dict.items():
+        for pref in ("model_language.", "net.", "text."):
+            name = name.removeprefix(pref)
+        v = np.asarray(value)
+        if name == "token_embedding.weight":
+            flat["token_embedding/embedding"] = v
+        elif name == "positional_embedding":
+            flat["positional_embedding"] = v
+        elif name == "text_projection":
+            flat["text_projection"] = v  # used as x @ P in both frameworks
+        elif name in ("ln_final.weight", "ln_final.bias"):
+            flat[f"ln_final/{'scale' if name.endswith('weight') else 'bias'}"] = v
+        else:
+            m = re.match(r"transformer\.resblocks\.(\d+)\.(.*)", name)
+            if not m:
+                if "attn_mask" not in name and "logit_scale" not in name:
+                    unmatched.append(name)
+                continue
+            base, rest = f"resblocks_{m.group(1)}", m.group(2)
+            if rest == "attn.in_proj_weight":
+                flat[f"{base}/in_proj/kernel"] = _t_linear(v)
+            elif rest == "attn.in_proj_bias":
+                flat[f"{base}/in_proj/bias"] = v
+            elif rest == "attn.out_proj.weight":
+                flat[f"{base}/out_proj/kernel"] = _t_linear(v)
+            elif rest == "attn.out_proj.bias":
+                flat[f"{base}/out_proj/bias"] = v
+            elif rest in ("ln_1.weight", "ln_1.bias", "ln_2.weight", "ln_2.bias"):
+                ln, kind = rest.split(".")
+                flat[f"{base}/{ln}/{'scale' if kind == 'weight' else 'bias'}"] = v
+            elif rest == "mlp.c_fc.weight":
+                flat[f"{base}/mlp_fc/kernel"] = _t_linear(v)
+            elif rest == "mlp.c_fc.bias":
+                flat[f"{base}/mlp_fc/bias"] = v
+            elif rest == "mlp.c_proj.weight":
+                flat[f"{base}/mlp_proj/kernel"] = _t_linear(v)
+            elif rest == "mlp.c_proj.bias":
+                flat[f"{base}/mlp_proj/bias"] = v
+            else:
+                unmatched.append(name)
+    if unmatched:
+        logger.warning(f"convert_language: unmatched keys: {unmatched[:10]}")
+    return flat
+
+
+def interpolate_patch_embed(kernel_hwio: np.ndarray, new_hw) -> np.ndarray:
+    """Bicubic-resize a (kh, kw, in, out) patch kernel (torch-exact bicubic,
+    reference tools/eva_interpolate_patch_14to16.py:83-88)."""
+    from ape_tpu.modeling.backbone.vit_utils import bicubic_resize_matrix
+
+    kh, kw, cin, cout = kernel_hwio.shape
+    mh = bicubic_resize_matrix(kh, new_hw[0]).astype(np.float64)
+    mw = bicubic_resize_matrix(kw, new_hw[1]).astype(np.float64)
+    out = np.einsum("Hh,hwio->Hwio", mh, kernel_hwio.astype(np.float64))
+    out = np.einsum("Ww,Hwio->HWio", mw, out)
+    return out.astype(kernel_hwio.dtype)
+
+
+def interpolate_pos_embed_np(pos: np.ndarray, new_len: int, num_extra: int = 1) -> np.ndarray:
+    """Bicubic-resize a (1, N+extra, C) abs pos embed to (1, new_len, C)
+    (reference tools/eva_interpolate_patch_14to16.py:18-50)."""
+    from ape_tpu.modeling.backbone.vit_utils import bicubic_resize_matrix
+
+    squeeze = pos.ndim == 2
+    if squeeze:
+        pos = pos[None]
+    extra = pos[:, :num_extra]
+    grid = pos[:, num_extra:]
+    n = grid.shape[1]
+    size = int(round(n**0.5))
+    new_n = new_len - num_extra
+    new_size = int(round(new_n**0.5))
+    assert size * size == n and new_size * new_size == new_n, (n, new_n)
+    g = grid.reshape(size, size, -1).astype(np.float64)
+    m = bicubic_resize_matrix(size, new_size).astype(np.float64)
+    g = np.einsum("Hh,hwc->Hwc", m, g)
+    g = np.einsum("Ww,Hwc->HWc", m, g)
+    out = np.concatenate([extra.astype(np.float64), g.reshape(1, new_n, -1)], axis=1)
+    out = out.astype(pos.dtype)
+    return out[0] if squeeze else out
+
+
+def adapt_shapes(flat_src: Dict[str, Any], flat_dst: Dict[str, Any]) -> Dict[str, Any]:
+    """Auto-apply patch-14->16 and pos-embed grid surgery where shapes differ
+    (the offline tools/eva_interpolate_patch_14to16.py step, folded in)."""
+    out = dict(flat_src)
+    for k, v in list(out.items()):
+        if k not in flat_dst:
+            continue
+        dst_shape = tuple(np.asarray(flat_dst[k]).shape)
+        if tuple(v.shape) == dst_shape:
+            continue
+        if k.endswith("patch_embed/kernel") and v.ndim == 4 and v.shape[2:] == dst_shape[2:]:
+            out[k] = interpolate_patch_embed(v, dst_shape[:2])
+            logger.info(f"adapt: {k} {v.shape} -> {dst_shape} (bicubic patch kernel)")
+        elif "pos_embed" in k and v.ndim == dst_shape.__len__() and v.shape[-1] == dst_shape[-1]:
+            out[k] = interpolate_pos_embed_np(v, dst_shape[-2])
+            logger.info(f"adapt: {k} {v.shape} -> {dst_shape} (bicubic pos embed)")
+    return out
+
+
 def load_params_tolerant(path: str, params_template) -> Any:
     """Load a torch .pth/.pkl or orbax dir into the given param tree, keeping
     template values for missing keys and skipping shape mismatches (d2's
@@ -340,6 +451,7 @@ def load_params_tolerant(path: str, params_template) -> Any:
         raise ValueError(f"unsupported checkpoint: {path}")
 
     flat_dst = flatten_tree(params_template)
+    flat_src = adapt_shapes(flat_src, flat_dst)
     loaded, skipped = 0, []
     for k, v in flat_src.items():
         if k in flat_dst:

@@ -47,6 +47,24 @@ def multistep_schedule(base_lr: float, milestones: Sequence[int], gamma: float =
     return optax.piecewise_constant_schedule(base_lr, boundaries)
 
 
+def make_lr_schedule(
+    base_lr: float = 2e-4,
+    milestones: Sequence[int] = (),
+    warmup_steps: int = 0,
+):
+    """The LR schedule alone (for logging next to the optimizer that uses it)."""
+    sched = (
+        multistep_schedule(base_lr, milestones) if milestones else lambda _: base_lr
+    )
+    if warmup_steps:
+        warm = optax.linear_schedule(base_lr * 1e-3, base_lr, warmup_steps)
+        base = sched
+        sched = lambda step: jax.numpy.where(
+            step < warmup_steps, warm(step), base(step - warmup_steps)
+        )
+    return sched
+
+
 def build_optimizer(
     params,
     base_lr: float = 2e-4,
@@ -58,15 +76,7 @@ def build_optimizer(
     warmup_steps: int = 0,
     frozen_regex: Optional[str] = None,  # e.g. frozen language tower
 ) -> optax.GradientTransformation:
-    sched = (
-        multistep_schedule(base_lr, milestones) if milestones else lambda _: base_lr
-    )
-    if warmup_steps:
-        warm = optax.linear_schedule(base_lr * 1e-3, base_lr, warmup_steps)
-        base = sched
-        sched = lambda step: jax.numpy.where(
-            step < warmup_steps, warm(step), base(step - warmup_steps)
-        )
+    sched = make_lr_schedule(base_lr, milestones, warmup_steps)
 
     mults = lr_multiplier_tree(params, vit_num_layers, layer_decay)
 

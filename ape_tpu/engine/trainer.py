@@ -41,8 +41,16 @@ class Trainer:
         checkpointer=None,
         rng_seed: int = 0,
         mesh=None,
+        step_fn_by_dataset: Optional[Callable] = None,  # ds_id -> step_fn
+        eval_fn: Optional[Callable] = None,  # state -> dict of results
+        eval_period: int = 0,
+        lr_fn: Optional[Callable] = None,  # step -> lr (for logging)
     ):
         self.step_fn = step_fn
+        self.step_fn_by_dataset = step_fn_by_dataset
+        self.eval_fn = eval_fn
+        self.eval_period = eval_period
+        self.lr_fn = lr_fn
         self.state = state
         self.loaders = list(loaders)
         self.iters = [iter(l) for l in self.loaders]
@@ -86,7 +94,12 @@ class Trainer:
             batch = shard_batch(self.mesh, batch)
 
         self._rng, rng = jax.random.split(self._rng)
-        self.state, metrics = self.step_fn(self.state, batch, rng)
+        fn = (
+            self.step_fn_by_dataset(ds_id)
+            if self.step_fn_by_dataset is not None
+            else self.step_fn
+        )
+        self.state, metrics = fn(self.state, batch, rng)
 
         total = float(metrics["total_loss"])
         if not np.isfinite(total):
@@ -109,12 +122,25 @@ class Trainer:
         for it in range(start_iter, self.max_iter):
             self.run_step()
             self.storage.put_scalar("time", time.perf_counter() - t0)
+            if self.lr_fn is not None:
+                self.storage.put_scalar("lr", float(self.lr_fn(it)))
             t0 = time.perf_counter()
             if (it + 1) % self.log_period == 0:
                 for w in self.writers:
                     w.write(self.storage)
             if self.checkpointer is not None:
                 self.checkpointer.step(it, self.state)
+            if (
+                self.eval_fn is not None
+                and self.eval_period > 0
+                and (it + 1) % self.eval_period == 0
+                and (it + 1) != self.max_iter
+            ):
+                logger.info(f"running evaluation at iteration {it + 1}")
+                results = self.eval_fn(self.state)
+                for name, res in (results or {}).items():
+                    logger.info(f"[eval @ {it + 1}] {name}: {res}")
+                t0 = time.perf_counter()  # eval time isn't step time
             self.storage.step()
         logger.info("Training done")
         return self.state

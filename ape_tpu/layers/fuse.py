@@ -99,8 +99,8 @@ class BiAttentionBlock(nn.Module):
         gamma_l = self.param(
             "gamma_l", nn.initializers.constant(self.init_values), (self.l_dim,)
         )
-        vn = nn.LayerNorm(dtype=self.dtype, name="layer_norm_v")(v)
-        ln = nn.LayerNorm(dtype=self.dtype, name="layer_norm_l")(l)
+        vn = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm_v")(v)
+        ln = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm_l")(l)
         dv, dl = BiMultiHeadAttention(
             v_dim=self.v_dim,
             l_dim=self.l_dim,

@@ -9,9 +9,9 @@ TPU-first dispatch:
   * mode="window" (encoder): queries are the pyramid grid; uses the gather-free
     window-clamped kernel (ops/msda_window.py). ``grid_corrections`` carries the
     per-batch valid-ratio shift so padded batches stay exact within the window.
-  * mode="exact" (decoder): 900 queries; uses the dense separable-bilinear MXU
-    formulation (ops/msda_decoder.py) — same math as the exact gather
-    (ops/msda.py), restructured so the per-level sampling runs as matmuls.
+  * mode="exact" (decoder): 900 queries; exact-gather forward with the dense
+    separable-bilinear matmul backward (ops/msda_decoder.py) — each side of
+    the hybrid measured faster on v5e.
 """
 
 from __future__ import annotations
@@ -23,7 +23,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-from ape_tpu.ops.msda_decoder import ms_deform_attn_dense
+from ape_tpu.ops.msda_decoder import ms_deform_attn_decoder
 from ape_tpu.ops.msda_dispatch import ms_deform_attn_window_dispatch
 
 
@@ -120,7 +120,9 @@ class MultiScaleDeformableAttention(nn.Module):
                 )
             else:
                 raise ValueError(reference_points.shape)
-            out = ms_deform_attn_dense(v, spatial_shapes, loc.astype(v.dtype), weights)
+            out = ms_deform_attn_decoder(
+                v, tuple(map(tuple, spatial_shapes)), loc.astype(v.dtype), weights
+            )
 
         out = nn.Dense(self.embed_dim, dtype=self.dtype, name="output_proj")(out)
         return identity + out

@@ -50,7 +50,7 @@ class ChannelMapper(nn.Module):
                 dtype=self.dtype,
                 name=f"conv_{name}",
             )(feats[name])
-            x = nn.GroupNorm(
+            x = nn.GroupNorm(epsilon=1e-5, 
                 num_groups=self.num_groups, dtype=self.dtype, name=f"gn_{name}"
             )(x)
             out[name] = x
@@ -165,7 +165,7 @@ class APEDeta(nn.Module):
             lat = nn.Conv(
                 self.embed_dim, (1, 1), use_bias=False, dtype=self.dtype, name="lateral_conv"
             )(backbone_feats[self.mask_in_feature])
-            lat = nn.GroupNorm(num_groups=32, dtype=self.dtype, name="lateral_norm")(lat)
+            lat = nn.GroupNorm(epsilon=1e-5, num_groups=32, dtype=self.dtype, name="lateral_norm")(lat)
             if lat.shape[1] != hl:  # bilinear upsample of encoder feats to p2 size
                 enc_feats = jax.image.resize(
                     enc_feats,
@@ -177,7 +177,7 @@ class APEDeta(nn.Module):
                 self.embed_dim, (3, 3), padding="SAME", use_bias=False,
                 dtype=self.dtype, name="output_conv",
             )(x)
-            x = nn.GroupNorm(num_groups=32, dtype=self.dtype, name="output_norm")(x)
+            x = nn.GroupNorm(epsilon=1e-5, num_groups=32, dtype=self.dtype, name="output_norm")(x)
             x = nn.relu(x)
             mask_features = nn.Conv(
                 self.embed_dim, (1, 1), use_bias=False, dtype=self.dtype, name="mask_conv"

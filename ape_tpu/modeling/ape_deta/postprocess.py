@@ -72,7 +72,11 @@ def instance_inference(
 def _nms_topk(boxes, scores, classes, valid, thresh, topk):
     keep = batched_nms_mask(boxes, scores, classes, thresh, valid=valid)
     masked = jnp.where(keep, scores, NEG_INF)
-    top_scores, top_idx = jax.lax.top_k(masked, topk)
+    k = min(topk, masked.shape[0])  # fewer candidates than slots: pad below
+    top_scores, top_idx = jax.lax.top_k(masked, k)
+    if k < topk:
+        top_scores = jnp.concatenate([top_scores, jnp.full(topk - k, NEG_INF)])
+        top_idx = jnp.concatenate([top_idx, jnp.zeros(topk - k, top_idx.dtype)])
     return top_idx, top_scores, top_scores > NEG_INF / 2
 
 

@@ -260,9 +260,9 @@ class EncoderLayer(nn.Module):
             mode="window",
             grid_corrections=grid_corrections,
         )
-        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         x = FFN(self.embed_dim, self.feedforward_dim, dtype=self.dtype, name="ffn")(x)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         return x
 
 
@@ -338,7 +338,7 @@ class DecoderLayer(nn.Module):
         x = MultiheadAttention(
             self.embed_dim, self.num_heads, dtype=self.dtype, name="self_attn"
         )(x, query_pos=query_pos, key_pos=query_pos)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         x = MultiScaleDeformableAttention(
             embed_dim=self.embed_dim,
             num_heads=self.num_heads,
@@ -355,9 +355,9 @@ class DecoderLayer(nn.Module):
             key_padding_mask=~valid_mask,
             mode="exact",
         )
-        x = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         x = FFN(self.embed_dim, self.feedforward_dim, dtype=self.dtype, name="ffn")(x)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
         return x
 
 
@@ -500,7 +500,7 @@ class DeformableDetrTransformer(nn.Module):
         out_memory, proposals_unact, proposal_valid = gen_output_proposals(
             memory, valid, spatial_shapes, valid_ratios, mask_prompt
         )
-        out_memory = nn.LayerNorm(dtype=self.dtype, name="enc_output_norm")(
+        out_memory = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="enc_output_norm")(
             nn.Dense(c, dtype=self.dtype, name="enc_output")(out_memory)
         )
 
@@ -538,12 +538,12 @@ class DeformableDetrTransformer(nn.Module):
         pos_trans = nn.Dense(2 * c, dtype=self.dtype, name="pos_trans")(
             proposal_pos_embed(topk_coords_unact)
         )
-        pos_trans = nn.LayerNorm(dtype=self.dtype, name="pos_trans_norm")(pos_trans)
+        pos_trans = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="pos_trans_norm")(pos_trans)
         query_pos, query = jnp.split(pos_trans, 2, axis=-1)
         topk_feats = jax.lax.stop_gradient(
             jnp.take_along_axis(out_memory, sel[..., None], axis=1)
         )
-        query = query + nn.LayerNorm(dtype=self.dtype, name="pix_trans_norm")(
+        query = query + nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="pix_trans_norm")(
             nn.Dense(c, dtype=self.dtype, name="pix_trans")(topk_feats)
         )
 

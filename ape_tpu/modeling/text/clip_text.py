@@ -27,7 +27,7 @@ class TextBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, causal_mask):
-        y = nn.LayerNorm(dtype=self.dtype, name="ln_1")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_1")(x)
         b, n, c = y.shape
         hd = self.width // self.heads
         qkv = nn.Dense(3 * self.width, dtype=self.dtype, name="in_proj")(y)
@@ -42,7 +42,7 @@ class TextBlock(nn.Module):
         y = y.transpose(0, 2, 1, 3).reshape(b, n, c)
         y = nn.Dense(self.width, dtype=self.dtype, name="out_proj")(y)
         x = x + y
-        y = nn.LayerNorm(dtype=self.dtype, name="ln_2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_2")(x)
         y = nn.Dense(4 * self.width, dtype=self.dtype, name="mlp_fc")(y)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.width, dtype=self.dtype, name="mlp_proj")(y)
@@ -76,7 +76,7 @@ class CLIPTextTransformer(nn.Module):
             x = TextBlock(self.width, self.heads, dtype=self.dtype, name=f"resblocks_{i}")(
                 x, causal
             )
-        x = nn.LayerNorm(dtype=self.dtype, name="ln_final")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_final")(x)
         proj = self.param(
             "text_projection",
             nn.initializers.normal(self.width**-0.5),

@@ -33,12 +33,13 @@ Shapes follow ops/msda.py conventions:
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 
-from ape_tpu.ops.msda import level_start_index
+from ape_tpu.ops.msda import level_start_index, ms_deform_attn
 
 
 def _hat(x):
@@ -115,3 +116,31 @@ def ms_deform_attn_dense(
         out = out + lvl_out
 
     return out.transpose(0, 2, 1, 3).reshape(b, q, h * d).astype(value.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def ms_deform_attn_decoder(value, spatial_shapes, sampling_locations, attention_weights):
+    """Production decoder MSDA: exact-gather forward, dense-matmul backward.
+
+    Measured on v5e (round 2 probes): the gather forward is ~5 ms/layer while
+    the dense forward is ~26 ms; the dense VJP is ~2.5x faster than the
+    gather's scatter-add VJP. Both paths compute identical math (tests), so
+    the hybrid takes each one where it wins.
+    """
+    return ms_deform_attn(value, spatial_shapes, sampling_locations, attention_weights)
+
+
+def _dec_fwd(value, spatial_shapes, sampling_locations, attention_weights):
+    out = ms_deform_attn(value, spatial_shapes, sampling_locations, attention_weights)
+    return out, (value, sampling_locations, attention_weights)
+
+
+def _dec_bwd(spatial_shapes, res, g):
+    value, loc, att = res
+    _, vjp = jax.vjp(
+        lambda v, l, a: ms_deform_attn_dense(v, spatial_shapes, l, a), value, loc, att
+    )
+    return vjp(g)
+
+
+ms_deform_attn_decoder.defvjp(_dec_fwd, _dec_bwd)

@@ -1,0 +1,392 @@
+"""Pallas window-MSDA v2: pre-shifted planes kill the relayout floor.
+
+Round-1's kernel (ops/msda_window_pallas.py) hit a ~15x perf floor: every
+window column-shift read a sublane-UNALIGNED VMEM view, and Mosaic lowers those
+through a slow relayout path. Probing Mosaic on v5e shows DMA second-minor
+offsets must be *provably 8-aligned* (static-3 offsets fail to compile), so the
+shifts cannot move into the DMA either. v2 therefore hoists the column shifts
+to the XLA side:
+
+  * For each (query-level, value-level) pair, XLA prebuilds a small stack of
+    column-shifted planes of the value level, already mapped onto the query
+    grid in x (strided slice when the value level is finer, slice+repeat when
+    coarser). Pure HBM copies at full bandwidth.
+  * value finer in x (stride sx>1): one plane per window column u (11 planes,
+    phase-decomposition folded into the strided slice) — the kernel does NO
+    x-slicing at all.
+  * value same/coarser in x: plane b holds the columns shifted by b, where
+    b = (u*inv_x) mod 8 — only 8/gcd(inv_x, 8) planes (8, 4, 2, ...) — and the
+    kernel adds the remaining multiple-of-8 offset as a STATIC aligned slice
+    (u is unrolled, so Mosaic sees literal constants).
+  * Row (y) shifts index a leading phase axis and slice dim -3 — both free.
+
+The accumulator stays resident in VMEM per output tile; planes stream in as
+bf16 (f32 accumulate), one DMA per plane per tile, all started before the
+compute loop. Weight math (bilinear hats x attention, point-summed, expanded
+to channels on the MXU) is unchanged from v1.
+
+Semantics: identical to ops/msda_window.py (the XLA oracle) — window-clamped
+MSDA with |offset| <= radius, bilinear, zero padding.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ape_tpu.ops.msda import level_start_index
+
+
+def _hat(x):
+    return jnp.maximum(0.0, 1.0 - jnp.abs(x))
+
+
+class _PairGeom:
+    """Static geometry of one (query grid, value grid) pair."""
+
+    def __init__(self, hq, wq, hv, wv, radius):
+        self.hq, self.wq, self.hv, self.wv = hq, wq, hv, wv
+        self.radius = radius
+        self.pad = radius + 1
+        self.win = 2 * radius + 3
+        # x axis
+        if wv >= wq:
+            self.sx = wv // wq
+            self.inv_x = 1
+            self.int_x = self.sx // 2 - 1 if self.sx > 1 else 0
+            self.rem_x = 0.5 if self.sx > 1 else 0.0
+        else:
+            self.sx = 1
+            self.inv_x = wq // wv
+            self.int_x = 0
+            self.rem_x = None  # varies per query column
+        # y axis
+        if hv >= hq:
+            self.sy = hv // hq
+            self.inv_y = 1
+            self.int_y = self.sy // 2 - 1 if self.sy > 1 else 0
+            self.rem_y = 0.5 if self.sy > 1 else 0.0
+        else:
+            self.sy = 1
+            self.inv_y = hq // hv
+            self.int_y = 0
+            self.rem_y = None
+        # plane schedule for x shifts
+        if self.sx > 1:
+            # one plane per u; kernel x-slice is the identity
+            self.planes = list(range(self.win))
+            self.u_to_plane = {u: (u, 0) for u in range(self.win)}
+        else:
+            bs = sorted({(u * self.inv_x) % 8 for u in range(self.win)})
+            self.planes = bs
+            self.u_to_plane = {
+                u: (bs.index((u * self.inv_x) % 8), (u * self.inv_x) - ((u * self.inv_x) % 8))
+                for u in range(self.win)
+            }
+        self.max_a8 = max(a for _, a in self.u_to_plane.values())
+        # y: rows held unexpanded (value rows); per-v row offset
+        #   sy > 1: phase (int_y+v) % sy, row off (int_y+v)//sy
+        #   sy == 1: row off v (expansion via in-kernel repeat for inv_y > 1)
+        self.halo_y = (self.int_y + self.win - 1) // self.sy
+
+
+def _prep_planes(v_l, g: _PairGeom, plane_dtype):
+    """(B, Hv, Wv, C) -> (P, B, sy, R, Wp, C) pre-shifted planes (XLA side)."""
+    b, hv, wv, c = v_l.shape
+    pad = g.pad
+    # pad rows so phase decomposition divides and every kernel row slice fits
+    rows_needed = (g.hq // g.inv_y if g.inv_y > 1 else g.hq) + g.halo_y
+    hp = -(-(hv + 2 * pad) // g.sy) * g.sy
+    hp = max(hp, rows_needed * g.sy)
+    # pad cols generously: strided slices reach sx*(Wp-1)+int_x+win
+    if g.sx > 1:
+        wp_cols = g.wq  # plane width = query width exactly
+        wpad = g.int_x + g.win + g.sx * wp_cols
+    else:
+        wp_cols = g.wq + g.max_a8 + 8  # room for static aligned slices
+        wpad = max(wv + 2 * pad, (wp_cols // g.inv_x + 1) + g.win)
+    vpad = jnp.pad(
+        v_l.astype(plane_dtype),
+        ((0, 0), (pad, hp - hv - pad), (pad, max(wpad - wv - pad, pad)), (0, 0)),
+    )
+    # y phase decomposition: (B, sy, R, Wp, C)
+    bdim, hpp, wpp, _ = vpad.shape
+    vp = vpad.reshape(b, hpp // g.sy, g.sy, wpp, c).transpose(0, 2, 1, 3, 4)
+
+    planes = []
+    if g.sx > 1:
+        for u in g.planes:
+            start = g.int_x + u
+            sl = jax.lax.slice_in_dim(
+                vp, start, start + (wp_cols - 1) * g.sx + 1, stride=g.sx, axis=3
+            )
+            planes.append(sl)
+    else:
+        if g.inv_x > 1:
+            vp = jnp.repeat(vp, g.inv_x, axis=3)
+        for bshift in g.planes:
+            planes.append(
+                jax.lax.slice_in_dim(vp, bshift, bshift + wp_cols, axis=3)
+            )
+    out = jnp.stack(planes, 0)  # (P, B, sy, R, Wp, C)
+    return out
+
+
+def _pair_kernel_v2(
+    offx_ref,  # (1, tq, tw, PH) f32, lane order p-major (lane = p*H + h)
+    offy_ref,
+    att_ref,
+    planes_hbm,  # (P, B, sy, R, Wp, C) in ANY
+    out_ref,  # (1, tq, tw, C)
+    slabs,  # VMEM scratch (P, sy, tile_rows, tw + max_a8 + pad8, C)
+    acc_ref,  # VMEM scratch (tq, tw, C) f32
+    sems,  # DMA sems (P,)
+    *,
+    g: _PairGeom,
+    heads,
+    num_points,
+    tq,
+    tw,
+    slab_w,
+    single_x,
+    single_y,
+):
+    b = pl.program_id(0)
+    ty = pl.program_id(1)
+    tx = pl.program_id(2)
+    n_planes = len(g.planes)
+    rows_q = tq if g.sy > 1 else tq // g.inv_y
+    tile_rows = rows_q + g.halo_y
+
+    row_start = 0 if single_y else ty * rows_q
+    col_start = 0 if single_x else pl.multiple_of(tx * tw, 8)
+    copies = [
+        pltpu.make_async_copy(
+            planes_hbm.at[
+                p, b, :, pl.ds(row_start, tile_rows), pl.ds(col_start, slab_w), :
+            ],
+            slabs.at[p],
+            sems.at[p],
+        )
+        for p in range(n_planes)
+    ]
+    for cp in copies:
+        cp.start()
+
+    h, npt = heads, num_points
+    radius = g.radius
+    ox = jnp.clip(offx_ref[0], -radius, radius)  # (tq, tw, P*H)
+    oy = jnp.clip(offy_ref[0], -radius, radius)
+    att = att_ref[0]
+
+    pad = g.pad
+    if g.rem_x is None:  # coarser in x: rem varies with query column
+        qx = jax.lax.broadcasted_iota(jnp.int32, (tq, tw, 1), 1).astype(jnp.float32)
+        rem_x = ((qx % g.inv_x) + 0.5) / g.inv_x - 0.5
+    else:
+        rem_x = g.rem_x
+    if g.rem_y is None:
+        qy = jax.lax.broadcasted_iota(jnp.int32, (tq, tw, 1), 0).astype(jnp.float32)
+        rem_y = ((qy % g.inv_y) + 0.5) / g.inv_y - 0.5
+    else:
+        rem_y = g.rem_y
+    px = ox + (pad + rem_x)
+    py = oy + (pad + rem_y)
+
+    c = out_ref.shape[-1]
+    # weight expansion matrix (H -> C, value lanes d-major: lane = d*H + h)
+    ecols = jax.lax.broadcasted_iota(jnp.int32, (h, c), 1)
+    erows = jax.lax.broadcasted_iota(jnp.int32, (h, c), 0)
+    expand = (ecols % h == erows).astype(jnp.float32)
+
+    for cp in copies:
+        cp.wait()
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    def v_body(v, _):
+        hy = _hat(v.astype(jnp.float32) - py)
+        ahy = att * hy
+        if g.sy > 1:
+            phi_y = (g.int_y + v) % g.sy
+            dy = (g.int_y + v) // g.sy
+        else:
+            phi_y = 0
+            dy = v
+        for u in range(g.win):
+            hx = _hat(u - px)
+            whp = ahy * hx
+            w = whp[..., 0:h]
+            for pp in range(1, npt):
+                w = w + whp[..., pp * h : (pp + 1) * h]
+            w = jax.lax.dot_general(
+                w, expand,
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (tq, tw, C)
+            plane_idx, a8 = g.u_to_plane[u]
+            view = slabs[plane_idx, phi_y, pl.ds(dy, rows_q), a8 : a8 + tw, :]
+            if g.inv_y > 1:
+                view = jnp.repeat(view, g.inv_y, axis=0)
+            acc_ref[...] = acc_ref[...] + w * view.astype(jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, g.win, v_body, 0)
+    out_ref[0] = acc_ref[...].astype(out_ref.dtype)
+
+
+def _choose_tiles(g: _PairGeom, c: int, plane_bytes: int, budget=9 * 1024 * 1024):
+    """Pick (tq, tw) so the slab stack + accumulator fit VMEM."""
+    n_planes = len(g.planes)
+
+    def slab_bytes(tq, tw):
+        rows_q = tq if g.sy > 1 else tq // g.inv_y
+        slab_w = tw + g.max_a8
+        return n_planes * g.sy * (rows_q + g.halo_y) * slab_w * c * plane_bytes
+
+    def total(tq, tw):
+        acc = tq * tw * c * 4
+        blocks = tq * tw * (3 * 32 + 2 * c) * 4  # off/att in + out blocks (2x buf)
+        return slab_bytes(tq, tw) + acc + blocks
+
+    tq = min(32, g.hq)
+    while g.hq % tq:
+        tq //= 2
+    tw = min(64, g.wq)
+    while g.wq % tw:
+        tw //= 2
+    min_tq = max(1, g.inv_y)
+    while total(tq, tw) > budget:
+        tw_ok = (tw // 2) % 8 == 0 or (tw // 2) == g.wq
+        if tw > 8 and tw >= tq and tw_ok and g.wq % (tw // 2) == 0:
+            tw //= 2
+        elif tq > min_tq and (tq // 2) % min_tq == 0 and g.hq % (tq // 2) == 0:
+            tq //= 2
+        else:
+            break
+    assert tq % max(1, g.inv_y) == 0 and tw % max(1, g.inv_x) == 0, (tq, tw, g.inv_y, g.inv_x)
+    return tq, tw
+
+
+def _run_pair_v2(
+    v_l, off_pair, att_pair, hq, wq, hv, wv, radius, heads, head_dim, num_points,
+    plane_dtype=jnp.bfloat16, interpret=False,
+):
+    """One (lq, lv) pair -> (B, hq*wq, H*D) partial output (d-major channels)."""
+    b = v_l.shape[0]
+    c = heads * head_dim
+    g = _PairGeom(hq, wq, hv, wv, radius)
+
+    planes = _prep_planes(v_l.reshape(b, hv, wv, c), g, plane_dtype)
+    tq, tw = _choose_tiles(g, c, np.dtype(plane_dtype).itemsize)
+    rows_q = tq if g.sy > 1 else tq // g.inv_y
+    tile_rows = rows_q + g.halo_y
+    slab_w = -(-(tw + g.max_a8) // 8) * 8  # DMA width stays 8-aligned
+
+    # plane padding must cover the farthest tile slab
+    need_rows = (hq // tq - 1) * rows_q + tile_rows
+    need_cols = (wq // tw - 1) * tw + slab_w
+    pr = max(0, need_rows - planes.shape[3])
+    pc = max(0, need_cols - planes.shape[4])
+    if pr or pc:
+        planes = jnp.pad(planes, ((0, 0),) * 3 + ((0, pr), (0, pc), (0, 0)))
+
+    ph = heads * num_points
+    offx_g = off_pair[..., 0].transpose(0, 1, 3, 2).reshape(b, hq, wq, ph)
+    offy_g = off_pair[..., 1].transpose(0, 1, 3, 2).reshape(b, hq, wq, ph)
+    att_g = att_pair.transpose(0, 1, 3, 2).reshape(b, hq, wq, ph)
+
+    kernel = functools.partial(
+        _pair_kernel_v2,
+        g=g,
+        heads=heads,
+        num_points=num_points,
+        tq=tq,
+        tw=tw,
+        slab_w=slab_w,
+        single_x=(wq // tw) == 1,
+        single_y=(hq // tq) == 1,
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, hq, wq, c), jnp.float32),
+        grid=(b, hq // tq, wq // tw),
+        in_specs=[
+            pl.BlockSpec((1, tq, tw, ph), lambda bb, ty, tx: (bb, ty, tx, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq, tw, ph), lambda bb, ty, tx: (bb, ty, tx, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq, tw, ph), lambda bb, ty, tx: (bb, ty, tx, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tq, tw, c), lambda bb, ty, tx: (bb, ty, tx, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM(
+                (len(g.planes), g.sy, tile_rows, slab_w, c), plane_dtype
+            ),
+            pltpu.VMEM((tq, tw, c), jnp.float32),
+            pltpu.SemaphoreType.DMA((len(g.planes),)),
+        ],
+        interpret=interpret,
+    )(offx_g, offy_g, att_g, planes)
+    return out.reshape(b, hq * wq, c)
+
+
+def ms_deform_attn_window_pallas_v2(
+    value: jnp.ndarray,  # (B, S, H, D)
+    spatial_shapes: Sequence[Tuple[int, int]],
+    pixel_offsets: jnp.ndarray,  # (B, S, H, L, P, 2)
+    attention_weights: jnp.ndarray,  # (B, S, H, L, P)
+    radius: int = 4,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Drop-in replacement for ops.msda_window.ms_deform_attn_window (forward)."""
+    spatial_shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
+    b, s, h, d = value.shape
+    _, q, _, l, p, _ = pixel_offsets.shape
+    assert q == s and l == len(spatial_shapes)
+    starts, total = level_start_index(spatial_shapes)
+    assert total == s
+
+    off32 = pixel_offsets.astype(jnp.float32)
+    att32 = attention_weights.astype(jnp.float32)
+    # d-major channel layout (channel = d*H + h) matches the weight expansion
+    value_f = value.astype(jnp.float32).transpose(0, 1, 3, 2).reshape(b, s, h * d)
+
+    out_per_qlevel = [None] * l
+    for lv, (hv, wv) in enumerate(spatial_shapes):
+        v_l = jax.lax.dynamic_slice_in_dim(value_f, starts[lv], hv * wv, axis=1)
+        for lq, (hq, wq) in enumerate(spatial_shapes):
+            off_pair = jax.lax.dynamic_slice_in_dim(off32, starts[lq], hq * wq, axis=1)[
+                :, :, :, lv
+            ]
+            att_pair = jax.lax.dynamic_slice_in_dim(att32, starts[lq], hq * wq, axis=1)[
+                :, :, :, lv
+            ]
+            inv_y = max(hq // max(hv, 1), 1)
+            inv_x = max(wq // max(wv, 1), 1)
+            if inv_y * inv_x >= 64:
+                from ape_tpu.ops.msda_window import xla_pair
+
+                o = jnp.clip(off_pair, -radius, radius).reshape(b, hq, wq, h, p, 2)
+                a = att_pair.reshape(b, hq, wq, h, p)
+                vl5 = v_l.reshape(b, hv, wv, d, h).transpose(0, 1, 2, 4, 3)
+                part = xla_pair(vl5, o, a, hq, wq, hv, wv, radius)
+                part = part.transpose(0, 1, 2, 4, 3).reshape(b, hq * wq, h * d)
+            else:
+                part = _run_pair_v2(
+                    v_l, off_pair, att_pair, hq, wq, hv, wv, radius, h, d, p,
+                    interpret=interpret,
+                )
+            out_per_qlevel[lq] = part if out_per_qlevel[lq] is None else out_per_qlevel[lq] + part
+
+    out = jnp.concatenate(out_per_qlevel, axis=1)
+    out = out.reshape(b, s, d, h).transpose(0, 1, 3, 2).reshape(b, s, h * d)
+    return out.astype(value.dtype)

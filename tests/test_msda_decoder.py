@@ -74,3 +74,23 @@ def test_out_of_range_zero_padding(rng):
         v, SHAPES, loc_out, w, precision=jax.lax.Precision.HIGHEST
     )
     np.testing.assert_allclose(np.asarray(got), 0.0, atol=1e-7)
+
+
+def test_hybrid_decoder_vjp_matches_exact(rng):
+    """ms_deform_attn_decoder: gather fwd + dense bwd == pure gather autodiff."""
+    from ape_tpu.ops.msda_decoder import ms_deform_attn_decoder
+
+    v, loc, w = _inputs(rng, q=7)
+
+    def f_h(v, loc, w):
+        return (ms_deform_attn_decoder(v, SHAPES, loc, w) ** 2).sum()
+
+    def f_e(v, loc, w):
+        return (ms_deform_attn(v, SHAPES, loc, w) ** 2).sum()
+
+    np.testing.assert_allclose(float(f_h(v, loc, w)), float(f_e(v, loc, w)), rtol=1e-6)
+    gh = jax.grad(f_h, (0, 1, 2))(v, loc, w)
+    ge = jax.grad(f_e, (0, 1, 2))(v, loc, w)
+    for a, b_ in zip(gh, ge):
+        scale = max(1.0, float(jnp.abs(a).max()))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4 * scale)

@@ -97,13 +97,29 @@ def build_text_fn(cfg, model_language=None):
     return text_fn
 
 
+def _train_groups(cfg):
+    """Normalize cfg.dataloader.train into a list of group dicts.
+
+    Mirrors the reference's list-of-dataloaders (flagship config :176-199):
+    either ``dataloader.train.groups = [{dataset_names, batch_size, mapper,
+    sampler}, ...]`` or the single-group form used by most eval configs.
+    """
+    dl = cfg.dataloader.train
+    groups = dl.get("groups", None)
+    if groups:
+        return list(groups)
+    return [dl]
+
+
 def do_train(args, cfg):
+    import functools
+
     import jax
     import jax.numpy as jnp
 
     from ape_tpu.config import instantiate
     from ape_tpu.checkpoint.checkpointer import Checkpointer, PeriodicCheckpointer
-    from ape_tpu.engine.optimizer import build_optimizer
+    from ape_tpu.engine.optimizer import build_optimizer, make_lr_schedule
     from ape_tpu.engine.train_step import create_train_state, make_train_step
     from ape_tpu.engine.trainer import Trainer
     from ape_tpu.parallel.mesh import make_mesh, param_sharding
@@ -117,13 +133,16 @@ def do_train(args, cfg):
     from ape_tpu.config import ConfigDict
 
     # instantiate together so absolute interpolations (e.g. "${model.num_queries}")
-    # resolve against a shared root
-    objs = instantiate(ConfigDict(model=cfg.model, criterion=cfg.criterion))
-    model, criterion = objs["model"], objs["criterion"]
+    # resolve against a shared root. `criterions` (a list, one per dataset
+    # group — reference flagship wires 10) takes precedence over `criterion`.
+    crit_cfgs = cfg.get("criterions", None) or [cfg.criterion]
+    objs = instantiate(ConfigDict(model=cfg.model, criterions=list(crit_cfgs)))
+    model, criterions = objs["model"], list(objs["criterions"])
 
     img = int(train.get("image_size", 1024))
     num_text = int(train.get("num_text", 80))
     text_dim = int(train.get("text_dim", 1024))
+    iter_size = int(train.get("iter_size", 1))
 
     # init params with one example batch shape
     images = jnp.zeros((1, img, img, 3))
@@ -138,11 +157,20 @@ def do_train(args, cfg):
     logger.info(f"model parameters: {n_params / 1e6:.1f}M")
 
     tx = build_optimizer(params, **dict(cfg.optimizer))
-    # the data axis must divide the global batch; idle extra devices in smoke runs
+    lr_fn = make_lr_schedule(
+        cfg.optimizer.get("base_lr", 2e-4),
+        cfg.optimizer.get("milestones", []),
+        cfg.optimizer.get("warmup_steps", 0),
+    )
+    # the data axis must divide every group's micro-batch; idle extras otherwise
     import math
 
-    bs = int(cfg.dataloader.train.get("batch_size", 1))
-    n_dev = math.gcd(bs, len(jax.devices())) or 1
+    groups = _train_groups(cfg)
+    micro_bs = [int(g.get("batch_size", 1)) for g in groups]
+    n_dev = len(jax.devices())
+    for b in micro_bs:
+        n_dev = math.gcd(b, n_dev)
+    n_dev = n_dev or 1
     mesh = make_mesh(n_devices=n_dev)
     params = jax.device_put(params, param_sharding(mesh, params))
     state = create_train_state(params, tx, ema=train.get("ema_decay", 0) > 0)
@@ -152,38 +180,68 @@ def do_train(args, cfg):
         state, train.get("init_checkpoint", ""), resume=args.resume
     )
 
-    # data
-    loaders, mds = [], None
-    dl = cfg.dataloader.train
+    # data: one loader per group; each step picks a loader by ratio-weighted
+    # choice (reference Trainer._data_loader_iter, tools/train_net.py:404-420).
+    # Loaders emit batch_size * iter_size samples; the jitted step scans over
+    # iter_size microbatches (grad accumulation).
     from ape_tpu.data.catalog import DatasetCatalog
+    from ape_tpu.data.samplers import MultiDatasetSampler
 
-    names = dl.get("dataset_names", [])
-    have_data = all(n in DatasetCatalog for n in names) and names
-    if have_data:
+    loaders, mds = [], None
+    ratio = list(train.get("dataset_ratio", [1.0] * len(groups)))
+    registered = all(
+        n in DatasetCatalog for g in groups for n in g.get("dataset_names", [])
+    ) and any(g.get("dataset_names", []) for g in groups)
+    if registered:
         from ape_tpu.config import instantiate as inst
         from ape_tpu.data.build import build_detection_train_loader
 
-        loaders = [
-            build_detection_train_loader(
-                names, inst(dl.mapper), dl.batch_size, dl.get("sampler", "TrainingSampler")
+        for i, g in enumerate(groups):
+            loaders.append(
+                build_detection_train_loader(
+                    list(g["dataset_names"]),
+                    inst(g["mapper"]),
+                    int(g.get("batch_size", 1)) * iter_size,
+                    g.get("sampler", "TrainingSampler"),
+                    seed=int(train.get("seed", 0)) + i,
+                    dataset_id=i,
+                )
             )
-        ]
     else:
         logger.warning("datasets unavailable; using synthetic fast_dev_run data")
         loaders = [
-            synthetic_loader(dl.get("batch_size", 1), img, num_text, text_dim)
+            synthetic_loader(
+                int(g.get("batch_size", 1)) * iter_size, img, num_text, text_dim
+            )
+            for g in groups
         ]
+    if len(loaders) > 1:
+        mds = MultiDatasetSampler(ratio, seed=int(train.get("seed", 0)))
 
-    step_fn = jax.jit(
-        make_train_step(
-            model, criterion, tx,
-            ema_decay=train.get("ema_decay", 0.0),
-            iter_size=1,
-        ),
-        donate_argnums=(0,),
-    )
+    @functools.lru_cache(maxsize=None)
+    def _step_fn_for_crit(crit_idx: int):
+        return jax.jit(
+            make_train_step(
+                model,
+                criterions[crit_idx],
+                tx,
+                ema_decay=train.get("ema_decay", 0.0),
+                iter_size=iter_size,
+            ),
+            donate_argnums=(0,),
+        )
+
+    def step_fn_for(ds_id: int):
+        # groups sharing one criterion share one compiled step
+        return _step_fn_for_crit(min(ds_id, len(criterions) - 1))
+
+    eval_fn = None
+    if train.get("eval_period", 0) and cfg.dataloader.get("tests", []):
+        def eval_fn(st):
+            return run_eval(cfg, model, st.ema_params if st.ema_params is not None else st.params)
+
     trainer = Trainer(
-        step_fn,
+        step_fn_for(0),
         state,
         loaders,
         dataset_sampler=mds,
@@ -193,15 +251,21 @@ def do_train(args, cfg):
         output_dir=train.output_dir,
         checkpointer=PeriodicCheckpointer(ckpt, train.get("checkpoint_period", 5000), train.max_iter),
         mesh=mesh,
+        step_fn_by_dataset=step_fn_for,
+        eval_fn=eval_fn,
+        eval_period=int(train.get("eval_period", 0)),
+        lr_fn=lr_fn,
     )
     trainer.train(start_iter)
 
 
-def do_test(args, cfg):
-    import jax
-    import jax.numpy as jnp
+def run_eval(cfg, model, params):
+    """Evaluate `params` on every registered test dataset in the config.
 
-    from ape_tpu.config import ConfigDict, instantiate
+    Shared by --eval-only (do_test) and the mid-training eval hook
+    (reference EvalHook, tools/train_net.py:592-596).
+    """
+    from ape_tpu.config import instantiate
     from ape_tpu.data.catalog import DatasetCatalog
     from ape_tpu.engine.ape_wrapper import APE
     from ape_tpu.evaluation.eval_runner import evaluate_dataset
@@ -213,6 +277,43 @@ def do_test(args, cfg):
     if not names:
         logger.warning("no registered eval datasets; nothing to evaluate")
         return {}
+
+    num_text = int(cfg.train.get("num_text", 80))
+    lang_cfg = dict(cfg.get("language", {}) or {})
+    lang_cfg.setdefault("output_dim", int(cfg.train.get("text_dim", 1024)))
+    lang = EVA02CLIP(**lang_cfg)
+    prompts = [t.get("prompt", "name") for t in tests if t["dataset_name"] in names]
+    ape = APE(
+        model, params, lang, dataset_names=names, dataset_prompts=prompts,
+        max_text=num_text,
+    )
+
+    results = {}
+    for t in tests:
+        name = t["dataset_name"]
+        if name not in DatasetCatalog:
+            logger.warning(f"dataset {name} not registered; skipping")
+            continue
+        mapper = instantiate(t["mapper"]) if t.get("mapper") is not None else None
+        iou_types = tuple(
+            t.get("iou_types")
+            or (("bbox", "segm") if cfg.model.get("mask_on", True) else ("bbox",))
+        )
+        results[name] = evaluate_dataset(
+            ape, name, mapper, iou_types,
+            max_dets=int(t.get("max_dets", 100)),
+            evaluator_type=t.get("evaluator_type"),
+        )
+        logger.info(f"{name}: {results[name]}")
+    results.update(aggregate_benchmark_suite(results))
+    return results
+
+
+def do_test(args, cfg):
+    import jax
+    import jax.numpy as jnp
+
+    from ape_tpu.config import ConfigDict, instantiate
 
     model = instantiate(ConfigDict(model=cfg.model))["model"]
     img = int(cfg.train.get("image_size", 1024))
@@ -230,21 +331,7 @@ def do_test(args, cfg):
         from ape_tpu.checkpoint.convert import load_params_tolerant
 
         params = load_params_tolerant(init, params)
-    lang = EVA02CLIP(**dict(cfg.get("language", {}) or {}))
-    ape = APE(model, params, lang, dataset_names=names, max_text=num_text)
-
-    results = {}
-    for t in tests:
-        name = t["dataset_name"]
-        if name not in DatasetCatalog:
-            logger.warning(f"dataset {name} not registered; skipping")
-            continue
-        mapper = instantiate(t["mapper"]) if t.get("mapper") is not None else None
-        iou_types = ("bbox", "segm") if cfg.model.get("mask_on", True) else ("bbox",)
-        results[name] = evaluate_dataset(ape, name, mapper, iou_types)
-        logger.info(f"{name}: {results[name]}")
-    results.update(aggregate_benchmark_suite(results))
-    return results
+    return run_eval(cfg, model, params)
 
 
 def main():
