@@ -46,11 +46,14 @@ class Trainer:
         eval_period: int = 0,
         lr_fn: Optional[Callable] = None,  # step -> lr (for logging)
     ):
+        from ape_tpu.parallel.mesh import is_main_process
+
         self.step_fn = step_fn
         self.step_fn_by_dataset = step_fn_by_dataset
         self.eval_fn = eval_fn
         self.eval_period = eval_period
         self.lr_fn = lr_fn
+        self.is_main = is_main_process()  # writers/checkpoints on process 0 only
         self.state = state
         self.loaders = list(loaders)
         self.iters = [iter(l) for l in self.loaders]
@@ -125,10 +128,10 @@ class Trainer:
             if self.lr_fn is not None:
                 self.storage.put_scalar("lr", float(self.lr_fn(it)))
             t0 = time.perf_counter()
-            if (it + 1) % self.log_period == 0:
+            if (it + 1) % self.log_period == 0 and self.is_main:
                 for w in self.writers:
                     w.write(self.storage)
-            if self.checkpointer is not None:
+            if self.checkpointer is not None and self.is_main:
                 self.checkpointer.step(it, self.state)
             if (
                 self.eval_fn is not None

@@ -234,7 +234,10 @@ def _pair_kernel_v2(
             plane_idx, a8 = g.u_to_plane[u]
             view = slabs[plane_idx, phi_y, pl.ds(dy, rows_q), a8 : a8 + tw, :]
             if g.inv_y > 1:
-                view = jnp.repeat(view, g.inv_y, axis=0)
+                # row element-repeat via broadcast+merge of two free dims
+                view = jnp.broadcast_to(
+                    view[:, None], (rows_q, g.inv_y, tw, view.shape[-1])
+                ).reshape(rows_q * g.inv_y, tw, view.shape[-1])
             acc_ref[...] = acc_ref[...] + w * view.astype(jnp.float32)
         return 0
 
@@ -263,6 +266,13 @@ def _choose_tiles(g: _PairGeom, c: int, plane_bytes: int, budget=9 * 1024 * 1024
     while g.wq % tw:
         tw //= 2
     min_tq = max(1, g.inv_y)
+    # Mosaic's per-u unrolled temporaries blow scoped VMEM on strongly
+    # expanded tiles (measured: inv>=4 compiles at tq*tw<=1024, fails at 2048)
+    if max(g.inv_y, g.inv_x) >= 4:
+        while tq * tw > 1024 and tw > 8 and g.wq % (tw // 2) == 0 and (tw // 2) % 8 == 0:
+            tw //= 2
+        while tq * tw > 1024 and tq > min_tq and (tq // 2) % min_tq == 0 and g.hq % (tq // 2) == 0:
+            tq //= 2
     while total(tq, tw) > budget:
         tw_ok = (tw // 2) % 8 == 0 or (tw // 2) == g.wq
         if tw > 8 and tw >= tq and tw_ok and g.wq % (tw // 2) == 0:
@@ -277,7 +287,7 @@ def _choose_tiles(g: _PairGeom, c: int, plane_bytes: int, budget=9 * 1024 * 1024
 
 def _run_pair_v2(
     v_l, off_pair, att_pair, hq, wq, hv, wv, radius, heads, head_dim, num_points,
-    plane_dtype=jnp.bfloat16, interpret=False,
+    plane_dtype=jnp.bfloat16, interpret=False, tile_override=None,
 ):
     """One (lq, lv) pair -> (B, hq*wq, H*D) partial output (d-major channels)."""
     b = v_l.shape[0]
@@ -285,7 +295,7 @@ def _run_pair_v2(
     g = _PairGeom(hq, wq, hv, wv, radius)
 
     planes = _prep_planes(v_l.reshape(b, hv, wv, c), g, plane_dtype)
-    tq, tw = _choose_tiles(g, c, np.dtype(plane_dtype).itemsize)
+    tq, tw = tile_override or _choose_tiles(g, c, np.dtype(plane_dtype).itemsize)
     rows_q = tq if g.sy > 1 else tq // g.inv_y
     tile_rows = rows_q + g.halo_y
     slab_w = -(-(tw + g.max_a8) // 8) * 8  # DMA width stays 8-aligned
@@ -372,7 +382,10 @@ def ms_deform_attn_window_pallas_v2(
             ]
             inv_y = max(hq // max(hv, 1), 1)
             inv_x = max(wq // max(wv, 1), 1)
-            if inv_y * inv_x >= 64:
+            # v2 handles every pyramid geometry (inv up to 16 measured 3.5x
+            # faster than the XLA shift-FMA); the fallback only guards
+            # pathological >4-octave gaps
+            if inv_y * inv_x > 16 * 16:
                 from ape_tpu.ops.msda_window import xla_pair
 
                 o = jnp.clip(off_pair, -radius, radius).reshape(b, hq, wq, h, p, 2)

@@ -54,3 +54,24 @@ def test_pallas_batch2(rng):
         radius=2, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_v2_kernel_interpret_parity(rng):
+    """Pre-shifted-plane kernel (v2) vs the XLA window oracle, incl. coarse pairs."""
+    import jax
+    import jax.numpy as jnp
+
+    from ape_tpu.ops.msda_window import ms_deform_attn_window
+    from ape_tpu.ops.msda_window_pallas_v2 import ms_deform_attn_window_pallas_v2
+
+    shapes = ((16, 16), (8, 8), (4, 4))
+    s = sum(h * w for h, w in shapes)
+    b, h, d, p = 1, 4, 8, 2
+    l = len(shapes)
+    v = jnp.asarray(rng.randn(b, s, h, d), jnp.float32)
+    off = jnp.asarray(rng.uniform(-6, 6, (b, s, h, l, p, 2)), jnp.float32)
+    att = jax.nn.softmax(jnp.asarray(rng.randn(b, s, h, l * p), jnp.float32), -1)
+    att = att.reshape(b, s, h, l, p)
+    ref = ms_deform_attn_window(v, shapes, off, att, radius=4)
+    got = ms_deform_attn_window_pallas_v2(v, shapes, off, att, radius=4, interpret=True)
+    assert float(jnp.abs(ref - got).max()) < 2e-2  # bf16 planes

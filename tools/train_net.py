@@ -62,39 +62,28 @@ def synthetic_loader(batch_size, image_size, num_text, text_dim, max_gt=8, mask_
 
 
 def build_text_fn(cfg, model_language=None):
-    """Attach text features to each batch (vocabulary of the batch's dataset)."""
-    import jax.numpy as jnp
+    """Prompt-routing text features per batch (name/phrase/expression + bank).
 
-    num_text = cfg.train.get("num_text", 80)
-    text_dim = cfg.train.get("text_dim", 1024)
+    Reference: segm_vl.py:166-340. Without a language tower (training smoke /
+    from-scratch runs), phrases embed via TextRouter's deterministic hash
+    fallback.
+    """
+    from ape_tpu.engine.text_router import TextRouter
 
-    if model_language is None:
-        # fixed random bank (training from scratch without a language tower)
-        rng = np.random.RandomState(0)
-        bank = rng.randn(num_text, text_dim).astype(np.float32)
-
-        def text_fn(batch):
-            b = batch["images"].shape[0]
-            batch["text_features"] = np.broadcast_to(bank[None], (b, num_text, text_dim)).copy()
-            batch["text_valid"] = np.ones((b, num_text), bool)
-            return batch
-
-        return text_fn
-
-    def text_fn(batch):
-        names = batch.pop("vocabulary", None) or [f"class {i}" for i in range(num_text)]
-        out = model_language.forward_text(list(names), cache=True)
-        feats = np.asarray(out["last_hidden_state_eot"], np.float32)
-        b = batch["images"].shape[0]
-        padded = np.zeros((num_text, text_dim), np.float32)
-        padded[: len(names)] = feats[:num_text]
-        batch["text_features"] = np.broadcast_to(padded[None], (b, num_text, text_dim)).copy()
-        valid = np.zeros((num_text,), bool)
-        valid[: len(names)] = True
-        batch["text_valid"] = np.broadcast_to(valid[None], (b, num_text)).copy()
-        return batch
-
-    return text_fn
+    groups = _train_groups(cfg)
+    prompts = list(
+        cfg.train.get("dataset_prompts", [])
+        or [g.get("prompt", "name") for g in groups]
+    )
+    return TextRouter(
+        model_language=model_language,
+        num_text=int(cfg.train.get("num_text", 80)),
+        text_dim=int(cfg.train.get("text_dim", 1024)),
+        dataset_prompts=prompts,
+        dataset_names=[list(g.get("dataset_names", [])) for g in groups],
+        num_datasets=len(groups),
+        seed=int(cfg.train.get("seed", 0)),
+    )
 
 
 def _train_groups(cfg):
@@ -344,6 +333,9 @@ def main():
         force_platform(
             os.environ["APE_PLATFORM"], int(os.environ.get("APE_NUM_DEVICES", "1"))
         )
+    from ape_tpu.parallel.mesh import initialize_distributed
+
+    initialize_distributed()  # no-op unless JAX_NUM_PROCESSES/coordinator set
 
     args = default_argument_parser().parse_args()
     cfg = LazyConfig.load(args.config_file)
