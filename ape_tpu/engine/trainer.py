@@ -22,7 +22,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ape_tpu.engine.train_step import TrainState
-from ape_tpu.utils.events import CommonMetricPrinter, EventStorage, JSONWriter
+from ape_tpu.utils.events import (
+    CommonMetricPrinter,
+    EventStorage,
+    JSONWriter,
+    TensorboardWriter,
+)
 
 logger = logging.getLogger("ape_tpu")
 
@@ -64,6 +69,7 @@ class Trainer:
         self.writers = [
             CommonMetricPrinter(max_iter, log_period),
             JSONWriter(f"{output_dir}/metrics.json", log_period),
+            TensorboardWriter(f"{output_dir}/tb", log_period),
         ]
         self.log_period = log_period
         self.checkpointer = checkpointer

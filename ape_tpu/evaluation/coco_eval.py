@@ -120,15 +120,28 @@ class COCOEvaluator:
                     det["segmentation"] = inst["masks"][i]
                 self._dets[(img_id, int(inst["classes"][i]))].append(det)
 
-    def _evaluate_img_cat(self, img_id, cat):
-        gts = self._gts.get((img_id, cat), [])
+    def _evaluate_img_cat(self, img_id, cat, area_rng=(0.0, 1e10)):
+        """Per-(image, category, area-range) greedy matching — the pycocotools
+        evaluateImg protocol: GT outside the range (or crowd/ignore) is IGNORE,
+        GTs sort ignored-last, dets in score order prefer non-ignored matches,
+        and unmatched dets outside the range are ignored rather than FPs."""
+        gts = list(self._gts.get((img_id, cat), []))
         dets = sorted(
             self._dets.get((img_id, cat), []), key=lambda d: -d["score"]
         )[: self.max_dets]
         if not gts and not dets:
             return None
+        lo, hi = area_rng
+        gt_area = [g.get("area", _box_area(g["bbox"])) for g in gts]
+        ignore0 = [
+            bool(g.get("ignore", 0) or g.get("iscrowd", 0))
+            or not (lo <= a < hi)
+            for g, a in zip(gts, gt_area)
+        ]
+        order = sorted(range(len(gts)), key=lambda i: ignore0[i])  # ignored last
+        gts = [gts[i] for i in order]
+        ignore = np.asarray([ignore0[i] for i in order], bool)
         iscrowd = np.asarray([g.get("iscrowd", 0) for g in gts], bool)
-        ignore = np.asarray([g.get("ignore", 0) or g.get("iscrowd", 0) for g in gts], bool)
         if dets and gts:
             if self.iou_type == "segm":
                 ious = mask_iou(
@@ -147,14 +160,16 @@ class COCOEvaluator:
 
         t = len(IOU_THRS)
         dt_m = -np.ones((t, len(dets)), np.int64)
+        dt_ig = np.zeros((t, len(dets)), bool)
         gt_m = -np.ones((t, len(gts)), np.int64)
+        det_area = np.asarray([_box_area(d["bbox"]) for d in dets])
         for ti, thr in enumerate(IOU_THRS):
             for di in range(len(dets)):
                 best, best_iou = -1, min(thr, 1 - 1e-10)
                 for gi in range(len(gts)):
                     if gt_m[ti, gi] >= 0 and not iscrowd[gi]:
                         continue
-                    # prefer non-ignored matches
+                    # gts sorted ignored-last: stop once a real match exists
                     if best >= 0 and not ignore[best] and ignore[gi]:
                         break
                     if ious[di, gi] >= best_iou:
@@ -163,20 +178,14 @@ class COCOEvaluator:
                 if best >= 0:
                     dt_m[ti, di] = best
                     gt_m[ti, best] = di
-        areas = np.asarray(
-            [
-                g.get("area", _box_area(g["bbox"]))
-                for g in gts
-            ]
-        ) if gts else np.zeros(0)
-        det_areas = np.asarray([_box_area(d["bbox"]) for d in dets])
+                    dt_ig[ti, di] = ignore[best]
+                elif not (lo <= det_area[di] < hi):
+                    dt_ig[ti, di] = True
         return {
             "scores": np.asarray([d["score"] for d in dets]),
-            "dt_m": dt_m,
-            "gt_ignore": ignore,
-            "gt_areas": areas,
-            "det_areas": det_areas,
-            "num_gt": len(gts),
+            "tp": (dt_m >= 0) & ~dt_ig,  # (T, D)
+            "ig": dt_ig,
+            "num_gt": int((~ignore).sum()),
         }
 
     def evaluate(self) -> Dict[str, float]:
@@ -185,17 +194,14 @@ class COCOEvaluator:
         ap_all, ap50, ap75 = [], [], []
         ap_area = {k: [] for k in ("small", "medium", "large")}
         for cat in cats:
-            evals = {}
-            for img_id in self._gt_imgs:
-                e = self._evaluate_img_cat(img_id, cat)
-                if e is not None:
-                    evals[img_id] = e
-            if not evals:
-                continue
             aps = {}
             for area_name, rng in AREA_RNG.items():
-                pr = self._accumulate(list(evals.values()), rng)
-                aps[area_name] = pr
+                evals = []
+                for img_id in self._gt_imgs:
+                    e = self._evaluate_img_cat(img_id, cat, rng)
+                    if e is not None:
+                        evals.append(e)
+                aps[area_name] = self._accumulate(evals) if evals else None
             if aps["all"] is not None:
                 per_class_ap[cat] = float(np.mean(aps["all"]))
                 ap_all.append(aps["all"].mean())
@@ -217,60 +223,33 @@ class COCOEvaluator:
         return results
 
     @staticmethod
-    def _accumulate(evals: List[dict], area_rng) -> Optional[np.ndarray]:
-        """Per-IoU-threshold AP via 101-point interpolated PR."""
-        lo, hi = area_rng
-        scores, matches, ignores = [], [], []
-        num_gt = 0
-        for e in evals:
-            gt_in = (e["gt_areas"] >= lo) & (e["gt_areas"] < hi) & ~e["gt_ignore"]
-            num_gt += int(gt_in.sum())
-            det_in = (e["det_areas"] >= lo) & (e["det_areas"] < hi)
-            # a det matched to ANY gt counts by its gt's area bucket; unmatched
-            # dets outside the bucket are ignored (COCO semantics)
-            for di in range(len(e["scores"])):
-                m = e["dt_m"][:, di]  # per-threshold matched gt idx or -1
-                matched_any = m >= 0
-                ig = np.zeros(len(IOU_THRS), bool)
-                keep = np.ones(len(IOU_THRS), bool)
-                for ti in range(len(IOU_THRS)):
-                    if m[ti] >= 0:
-                        gi = m[ti]
-                        if e["gt_ignore"][gi] or not (
-                            lo <= e["gt_areas"][gi] < hi
-                        ):
-                            ig[ti] = True
-                    else:
-                        if not det_in[di]:
-                            ig[ti] = True
-                scores.append(e["scores"][di])
-                matches.append(matched_any & ~ig)
-                ignores.append(ig)
+    def _accumulate(evals: List[dict]) -> Optional[np.ndarray]:
+        """Per-IoU-threshold AP via 101-point interpolated PR (accumulate())."""
+        num_gt = sum(e["num_gt"] for e in evals)
         if num_gt == 0:
             return None
-        if not scores:
+        scores = np.concatenate([e["scores"] for e in evals])
+        if scores.size == 0:
             return np.zeros(len(IOU_THRS))
-        scores = np.asarray(scores)
-        matches = np.asarray(matches)  # (D, T) true positive
-        ignores = np.asarray(ignores)
+        tps = np.concatenate([e["tp"] for e in evals], axis=1)
+        igs = np.concatenate([e["ig"] for e in evals], axis=1)
         order = np.argsort(-scores, kind="stable")
-        matches = matches[order].T  # (T, D)
-        ignores = ignores[order].T
+        tps = tps[:, order]
+        igs = igs[:, order]
         aps = np.zeros(len(IOU_THRS))
         for ti in range(len(IOU_THRS)):
-            tp = matches[ti] & ~ignores[ti]
-            fp = ~matches[ti] & ~ignores[ti]
+            tp = tps[ti] & ~igs[ti]
+            fp = ~tps[ti] & ~igs[ti]
             tp_c = np.cumsum(tp)
             fp_c = np.cumsum(fp)
             recall = tp_c / num_gt
             precision = tp_c / np.maximum(tp_c + fp_c, 1e-9)
-            # monotone precision envelope
             for i in range(len(precision) - 1, 0, -1):
                 precision[i - 1] = max(precision[i - 1], precision[i])
-            # 101-point interpolation
             idx = np.searchsorted(recall, RECALL_THRS, side="left")
-            pr = np.where(idx < len(precision), precision[np.minimum(idx, len(precision) - 1)], 0.0)
-            pr = np.where(idx >= len(precision), 0.0, pr)
+            pr = np.where(
+                idx < len(precision), precision[np.minimum(idx, len(precision) - 1)], 0.0
+            )
             aps[ti] = pr.mean()
         return aps
 

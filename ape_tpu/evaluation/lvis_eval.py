@@ -1,9 +1,14 @@
 """LVIS-flavor evaluation.
 
-Capability match: LVISEvaluator (/root/reference/ape/evaluation/lvis_evaluation.py:24-453):
-max_dets=300 per image (no per-class cap), AP plus rare/common/frequent buckets
-from per-category image counts, and the `not_exhaustive`/`neg_category_ids`
-ignore handling reduced to per-class presence.
+Capability match: LVISEvaluator (/root/reference/ape/evaluation/lvis_evaluation.py:24-453)
+and the LVIS API's federated-evaluation semantics:
+  * max_dets=300 per image (no per-class cap);
+  * AP plus rare/common/frequent buckets from per-category image counts;
+  * federated filtering: detections whose class is in neither the image's GT
+    categories nor its ``neg_category_ids`` are dropped (the detector is not
+    judged where presence is unverified);
+  * ``not_exhaustive_category_ids``: unmatched detections of those categories
+    on that image are ignored rather than counted as false positives.
 """
 
 from __future__ import annotations
@@ -37,6 +42,41 @@ class LVISEvaluator(COCOEvaluator):
                     imgs[a["category_id"]].add(d["image_id"])
             category_image_counts = {c: len(s) for c, s in imgs.items()}
         self.category_image_counts = category_image_counts
+        self._img_allowed = {}
+        self._img_not_exhaustive = {}
+        for d in dataset_dicts:
+            img_id = d["image_id"]
+            pos = {a["category_id"] for a in d.get("annotations", [])}
+            self._img_allowed[img_id] = pos | set(d.get("neg_category_ids", []))
+            self._img_not_exhaustive[img_id] = set(
+                d.get("not_exhaustive_category_ids", [])
+            )
+
+    def process(self, predictions):
+        """Federated filtering before the COCO-style accumulation."""
+        filtered = []
+        for p in predictions:
+            img_id = p["image_id"]
+            allowed = self._img_allowed.get(img_id)
+            if allowed is None or not p.get("instances"):
+                filtered.append(p)
+                continue
+            inst = p["instances"]
+            import numpy as _np
+
+            keep = _np.asarray([int(c) in allowed for c in inst["classes"]], bool)
+            new = {k: (_np.asarray(v)[keep] if k != "masks" else
+                       [m for m, kk in zip(v, keep) if kk])
+                   for k, v in inst.items() if v is not None}
+            filtered.append({**p, "instances": new})
+        super().process(filtered)
+
+    def _evaluate_img_cat(self, img_id, cat, area_rng=(0.0, 1e10)):
+        e = super()._evaluate_img_cat(img_id, cat, area_rng)
+        if e is not None and cat in self._img_not_exhaustive.get(img_id, ()):
+            # unmatched dets of a not-exhaustively-annotated class: ignore
+            e["ig"] = e["ig"] | ~e["tp"]
+        return e
 
     def evaluate(self) -> Dict[str, float]:
         results = super().evaluate()

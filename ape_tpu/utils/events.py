@@ -133,3 +133,31 @@ class TensorboardWriter:
     def close(self):
         if self._writer is not None:
             self._writer.close()
+
+
+class WandbWriter:
+    """Weights & Biases writer (reference: detrex WandbWriter wired by
+    tools/train_net.py:572-582). Gated on the wandb package; silently inert
+    when absent or offline."""
+
+    def __init__(self, project: str = "ape_tpu", log_period: int = 20, **init_kwargs):
+        try:
+            import wandb
+
+            self._run = wandb.init(project=project, reinit=True, **init_kwargs)
+            self._wandb = wandb
+        except Exception:
+            self._run = None
+            self._wandb = None
+        self.log_period = log_period
+
+    def write(self, storage: EventStorage):
+        if self._run is None:
+            return
+        self._wandb.log(
+            {k: v.latest for k, v in storage.histories().items()}, step=storage.iter
+        )
+
+    def close(self):
+        if self._run is not None:
+            self._run.finish()

@@ -25,6 +25,10 @@ def get_parser():
     parser = argparse.ArgumentParser(description="APE-TPU demo")
     parser.add_argument("--config-file", default="", metavar="FILE")
     parser.add_argument("--input", nargs="+", help="image file(s) or glob")
+    parser.add_argument("--video-input", default=None, help="video file path")
+    parser.add_argument("--webcam", action="store_true", help="camera 0 stream")
+    parser.add_argument("--max-frames", type=int, default=None)
+    parser.add_argument("--grabcut", action="store_true", help="GrabCut mask refine")
     parser.add_argument("--output", default="", help="output dir or file")
     parser.add_argument("--text-prompt", default=None)
     parser.add_argument("--with-box", action="store_true", default=True)
@@ -82,9 +86,33 @@ def main():
     args = get_parser().parse_args()
     ape, img_size = build_model(args)
 
-    from demo.predictor_lazy import VisualizationDemo
+    from demo.predictor_lazy import VisualizationDemo, run_on_video
 
     demo = VisualizationDemo(ape, img_size, args.confidence_threshold)
+
+    if args.video_input or args.webcam:
+        import cv2
+
+        src = 0 if args.webcam else args.video_input
+        writer = None
+        for idx, vis in run_on_video(
+            demo, src, text_prompt=args.text_prompt,
+            with_box=args.with_box, with_mask=args.with_mask,
+            max_frames=args.max_frames,
+        ):
+            if args.output:
+                if writer is None:
+                    os.makedirs(args.output, exist_ok=True)
+                    h, w = vis.shape[:2]
+                    writer = cv2.VideoWriter(
+                        os.path.join(args.output, "out.mp4"),
+                        cv2.VideoWriter_fourcc(*"mp4v"), 15, (w, h),
+                    )
+                writer.write(vis[:, :, ::-1])
+            logger.info(f"frame {idx} done")
+        if writer is not None:
+            writer.release()
+        return
 
     paths = []
     for p in args.input or []:
@@ -100,6 +128,7 @@ def main():
             with_box=args.with_box,
             with_mask=args.with_mask,
             with_sseg=args.with_sseg,
+            grabcut=args.grabcut,
         )
         inst = pred.get("instances", {})
         n = len(inst.get("scores", []))

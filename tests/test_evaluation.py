@@ -171,3 +171,52 @@ def test_suite_aggregation():
     )
     assert out["suite/mean_bbox/AP"] == 20.0
     assert out["suite/median_bbox/AP"] == 20.0
+
+
+def test_lvis_federated_filtering():
+    """LVIS: dets for unverified classes dropped; not-exhaustive classes don't
+    accrue FPs from unmatched dets."""
+    from ape_tpu.evaluation.lvis_eval import LVISEvaluator
+
+    dicts = [
+        {
+            "image_id": 0,
+            "annotations": [
+                {"category_id": 1, "bbox": [0, 0, 10, 10], "area": 100.0}
+            ],
+            "neg_category_ids": [],
+            "not_exhaustive_category_ids": [1],
+        },
+        {
+            "image_id": 1,
+            "annotations": [
+                {"category_id": 2, "bbox": [0, 0, 10, 10], "area": 100.0}
+            ],
+        },
+    ]
+    preds = [
+        {
+            "image_id": 0,
+            "instances": {
+                # TP for cat 1, spurious unmatched cat-1 det (not-exhaustive ->
+                # ignored), and a cat-2 det (unverified on img 0 -> dropped)
+                "boxes": np.asarray(
+                    [[0, 0, 10, 10], [50, 50, 60, 60], [0, 0, 10, 10]], np.float64
+                ),
+                "scores": np.asarray([0.9, 0.95, 0.99]),
+                "classes": np.asarray([1, 1, 2]),
+            },
+        },
+        {
+            "image_id": 1,
+            "instances": {
+                "boxes": np.asarray([[0, 0, 10, 10]], np.float64),
+                "scores": np.asarray([0.8]),
+                "classes": np.asarray([2]),
+            },
+        },
+    ]
+    ev = LVISEvaluator(dicts, "bbox", 300)
+    ev.process(preds)
+    r = ev.evaluate()
+    np.testing.assert_allclose(r["bbox/AP"], 100.0, atol=1e-6)
