@@ -147,6 +147,7 @@ def _pair_kernel_v2(
     out_ref,  # (1, tq, tw, C)
     slabs,  # VMEM scratch (P, sy, tile_rows, tw + max_a8 + pad8, C)
     acc_ref,  # VMEM scratch (tq, tw, C) f32
+    hx_ref,  # VMEM scratch (win, tq, tw, PH): per-u hats hoisted out of v-loop
     sems,  # DMA sems (P,)
     *,
     g: _PairGeom,
@@ -206,6 +207,10 @@ def _pair_kernel_v2(
     erows = jax.lax.broadcasted_iota(jnp.int32, (h, c), 0)
     expand = (ecols % h == erows).astype(jnp.float32)
 
+    # per-u bilinear hats do not depend on v: compute once, not win times
+    for u in range(g.win):
+        hx_ref[u] = _hat(u - px)
+
     for cp in copies:
         cp.wait()
 
@@ -221,8 +226,7 @@ def _pair_kernel_v2(
             phi_y = 0
             dy = v
         for u in range(g.win):
-            hx = _hat(u - px)
-            whp = ahy * hx
+            whp = ahy * hx_ref[u]
             w = whp[..., 0:h]
             for pp in range(1, npt):
                 w = w + whp[..., pp * h : (pp + 1) * h]
@@ -257,7 +261,9 @@ def _choose_tiles(g: _PairGeom, c: int, plane_bytes: int, budget=9 * 1024 * 1024
     def total(tq, tw):
         acc = tq * tw * c * 4
         blocks = tq * tw * (3 * 32 + 2 * c) * 4  # off/att in + out blocks (2x buf)
-        return slab_bytes(tq, tw) + acc + blocks
+        # hoisted per-u hats: PH=32 lanes pad to 128 in vregs -> 4x logical
+        hx = g.win * tq * tw * 32 * 4 * 4
+        return slab_bytes(tq, tw) + acc + blocks + hx
 
     tq = min(32, g.hq)
     while g.hq % tq:
@@ -342,6 +348,7 @@ def _run_pair_v2(
                 (len(g.planes), g.sy, tile_rows, slab_w, c), plane_dtype
             ),
             pltpu.VMEM((tq, tw, c), jnp.float32),
+            pltpu.VMEM((g.win, tq, tw, heads * num_points), jnp.float32),
             pltpu.SemaphoreType.DMA((len(g.planes),)),
         ],
         interpret=interpret,

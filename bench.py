@@ -21,6 +21,7 @@ A100_EST_IMG_PER_S = 8.0
 IMG = int(os.environ.get("BENCH_IMG", 1024))
 NUM_TEXT = int(os.environ.get("BENCH_TEXT", 80))
 ITERS = int(os.environ.get("BENCH_ITERS", 8))
+DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")  # matmul/activation dtype
 
 
 def main():
@@ -29,7 +30,10 @@ def main():
 
     from ape_tpu.modeling.build import build_ape_ti
 
-    model = build_ape_ti(img_size=IMG, num_queries=900, window_radius=4)
+    model = build_ape_ti(
+        img_size=IMG, num_queries=900, window_radius=4,
+        dtype=jnp.dtype(DTYPE),
+    )
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.randn(1, IMG, IMG, 3), jnp.float32)
     image_sizes = jnp.asarray([[IMG, IMG]], jnp.int32)
