@@ -83,6 +83,10 @@ _RULES = [
     (r"backbone\.net\.blocks\.(\d+)\.mlp\.w(\d)\.bias", r"backbone/net/blocks_\1/mlp/w\2/bias", None),
     (r"backbone\.net\.blocks\.(\d+)\.mlp\.ffn_ln\.weight", r"backbone/net/blocks_\1/mlp/ffn_ln/scale", None),
     (r"backbone\.net\.blocks\.(\d+)\.mlp\.ffn_ln\.bias", r"backbone/net/blocks_\1/mlp/ffn_ln/bias", None),
+    # EVA-01: plain MLP + decomposed rel-pos tables (vit_eva.py:102-147)
+    (r"backbone\.net\.blocks\.(\d+)\.mlp\.fc(\d)\.weight", r"backbone/net/blocks_\1/mlp/fc\2/kernel", _t_linear),
+    (r"backbone\.net\.blocks\.(\d+)\.mlp\.fc(\d)\.bias", r"backbone/net/blocks_\1/mlp/fc\2/bias", None),
+    (r"backbone\.net\.blocks\.(\d+)\.attn\.rel_pos_([hw])", r"backbone/net/blocks_\1/attn/rel_pos_\2", None),
     # ---- SimpleFeaturePyramid (Sequential indices per scale) ----
     # scale 4.0 (simfp_2): 0 deconv1, 1 LN, 3 deconv2, 4 conv1x1, 5 conv3x3
     (r"backbone\.simfp_2\.0\.weight", "backbone/simfp_2_deconv1/kernel", _t_convT),

@@ -75,6 +75,54 @@ class APE:
         self._post_semantic = jax.jit(semantic_inference)
 
     # ------------------------------------------------------------------
+    def profile_stage_times(self, inp: Dict, iters: int = 4) -> Dict[str, float]:
+        """Model-internal stage wall-times (reference segm_vl.py:362-441
+        preprocess/backbone/transformer/postprocess attribution).
+
+        The forward is one fused XLA program in production, so stages are
+        attributed by timing the backbone+neck subgraph separately (its own
+        jit on the same params) and the postprocess jit; transformer+heads is
+        the remainder of the full forward."""
+        import time
+
+        text_list = self.vocabulary(inp.get("text_prompt")) or ["object"]
+        txt, tvalid = self._text_features(text_list)
+        images = jnp.asarray(inp["image"][None])
+        sizes = jnp.asarray(inp["image_size"][None])
+
+        bb_apply = jax.jit(
+            lambda p, x: self.model.neck.apply(
+                {"params": p["neck"]},
+                self.model.backbone.apply({"params": p["backbone"]}, x),
+            )
+            if self.model.neck is not None
+            else self.model.backbone.apply({"params": p["backbone"]}, x)
+        )
+
+        def timed(fn, *args):
+            out = fn(*args)
+            np.asarray(jax.tree_util.tree_leaves(out)[0])[..., :1]
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = fn(*args)
+            np.asarray(jax.tree_util.tree_leaves(out)[0])[..., :1]
+            return (time.perf_counter() - t0) / iters
+
+        full_t = timed(self._forward, self.params, images, sizes, txt, tvalid)
+        bb_t = timed(bb_apply, self.params, images)
+        out = self._forward(self.params, images, sizes, txt, tvalid)
+        post_t = timed(
+            self._post_instance,
+            out["pred_logits"][0], out["pred_boxes"][0], sizes[0], tvalid[0],
+        )
+        return {
+            "backbone_time": bb_t,
+            "transformer_time": max(full_t - bb_t, 0.0),
+            "postprocess_time": post_t,
+            "total_forward_time": full_t,
+        }
+
+    # ------------------------------------------------------------------
     def set_eval_dataset(self, dataset_name: str):
         """Pick the dataset's vocabulary/prompt (deformable_detr.py:524-549)."""
         for i, m in enumerate(self.metadata_list):

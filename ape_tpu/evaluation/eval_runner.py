@@ -220,7 +220,20 @@ def evaluate_dataset(
     evaluator_type: Optional[str] = None,
 ) -> Dict[str, float]:
     """Route by evaluator type (reference tools/train_net.py:455-472)."""
+    import os
+
     ape.set_eval_dataset(dataset_name)
+    if os.environ.get("APE_PROFILE_STAGES") and hasattr(ape, "profile_stage_times"):
+        from ape_tpu.data.build import build_detection_test_loader
+
+        loader = build_detection_test_loader(dataset_name, mapper, rank, world_size)
+        for ex in loader():
+            times = ape.profile_stage_times(ex)
+            logger.info(
+                "stage times: "
+                + ", ".join(f"{k} {v * 1e3:.1f}ms" for k, v in times.items())
+            )
+            break
     etype = resolve_evaluator_type(dataset_name, evaluator_type)
     if etype in ("coco", "coco_panoptic_seg", "lvis"):
         return _eval_detection(

@@ -60,6 +60,7 @@ class Attention(nn.Module):
     subln: bool = False
     inner_attn_ln: bool = False
     qkv_bias: bool = True
+    use_rel_pos: bool = False  # EVA-01 decomposed rel-pos (vit_eva.py:109-141)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -110,6 +111,7 @@ class Attention(nn.Module):
             and n >= 2048
             and n % 512 == 0
             and head_dim in (32, 64, 128)
+            and not self.use_rel_pos
         )
         if use_flash:
             from jax.experimental.pallas.ops.tpu.flash_attention import (
@@ -119,6 +121,20 @@ class Attention(nn.Module):
             out = flash_attention(q, k, v, sm_scale=scale)
         else:
             attn = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k)
+            if self.use_rel_pos:
+                from ape_tpu.modeling.backbone.vit_utils import add_decomposed_rel_pos
+
+                head_dim_ = self.dim // self.num_heads
+                rel_h = self.param(
+                    "rel_pos_h", nn.initializers.zeros, (2 * h - 1, head_dim_)
+                )
+                rel_w = self.param(
+                    "rel_pos_w", nn.initializers.zeros, (2 * w - 1, head_dim_)
+                )
+                a2 = attn.reshape(b * self.num_heads, n, n)
+                q2 = q.reshape(b * self.num_heads, n, head_dim_)
+                a2 = add_decomposed_rel_pos(a2, q2, rel_h, rel_w, (h, w), (h, w))
+                attn = a2.reshape(b, self.num_heads, n, n)
             attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(v.dtype)
             out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, self.dim)
@@ -153,6 +169,20 @@ class SwiGLU(nn.Module):
         return nn.Dense(self.out_dim, dtype=self.dtype, name="w3")(hidden)
 
 
+class Mlp(nn.Module):
+    """Plain GELU MLP (EVA-01 blocks, timm Mlp: fc1/act/fc2)."""
+
+    hidden_dim: int
+    out_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        return nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
+
+
 class Block(nn.Module):
     dim: int
     num_heads: int
@@ -162,6 +192,8 @@ class Block(nn.Module):
     inner_attn_ln: bool = False
     packed_swiglu: bool = False
     swiglu_subln: bool = False
+    mlp_type: str = "swiglu"  # "swiglu" (EVA-02/CLIP) | "gelu" (EVA-01)
+    use_rel_pos: bool = False
     drop_path: float = 0.0
     dtype: Dtype = jnp.float32
 
@@ -177,6 +209,7 @@ class Block(nn.Module):
             num_heads=self.num_heads,
             subln=self.subln,
             inner_attn_ln=self.inner_attn_ln,
+            use_rel_pos=self.use_rel_pos,
             dtype=self.dtype,
             name="attn",
         )(y, rope_cos, rope_sin)
@@ -185,14 +218,20 @@ class Block(nn.Module):
         x = shortcut + DropPath(self.drop_path, name="drop_path1")(y, deterministic)
 
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
-        y = SwiGLU(
-            hidden_dim=self.mlp_hidden_dim,
-            out_dim=self.dim,
-            packed=self.packed_swiglu,
-            subln=self.swiglu_subln,
-            dtype=self.dtype,
-            name="mlp",
-        )(y)
+        if self.mlp_type == "gelu":
+            y = Mlp(
+                hidden_dim=self.mlp_hidden_dim, out_dim=self.dim,
+                dtype=self.dtype, name="mlp",
+            )(y)
+        else:
+            y = SwiGLU(
+                hidden_dim=self.mlp_hidden_dim,
+                out_dim=self.dim,
+                packed=self.packed_swiglu,
+                subln=self.swiglu_subln,
+                dtype=self.dtype,
+                name="mlp",
+            )(y)
         return x + DropPath(self.drop_path, name="drop_path2")(y, deterministic)
 
 
@@ -216,6 +255,8 @@ class EVAViT(nn.Module):
     inner_attn_ln: bool = False  # LN on attention output (EVA-CLIP subln)
     packed_swiglu: bool = False  # EVA-02 xops_SwiGLU packed w12
     swiglu_subln: bool = False  # ffn_ln inside SwiGLU (naiveswiglu)
+    mlp_type: str = "swiglu"  # "gelu" = EVA-01 plain MLP
+    use_rel_pos: bool = False  # EVA-01 decomposed relative positions
     drop_path_rate: float = 0.0
     dtype: Dtype = jnp.float32
 
@@ -263,6 +304,8 @@ class EVAViT(nn.Module):
                 inner_attn_ln=self.inner_attn_ln,
                 packed_swiglu=self.packed_swiglu,
                 swiglu_subln=self.swiglu_subln,
+                mlp_type=self.mlp_type,
+                use_rel_pos=self.use_rel_pos,
                 drop_path=dpr[i],
                 dtype=self.dtype,
                 name=f"blocks_{i}",

@@ -16,6 +16,7 @@ from typing import Tuple
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 
@@ -131,3 +132,40 @@ def resize_abs_pos(
     out = jnp.einsum("hs,stc->htc", my, grid)
     out = jnp.einsum("wt,htc->hwc", mx, out)
     return out[None]
+
+
+def get_rel_pos(q_size: int, k_size: int, rel_pos: jnp.ndarray) -> jnp.ndarray:
+    """Relative position table slice for decomposed rel-pos attention
+    (reference utils_eva02.py:66-118 semantics): linearly resize the table to
+    2*max(q,k)-1 entries, then index by scaled coordinate deltas."""
+    max_rel_dist = 2 * max(q_size, k_size) - 1
+    if rel_pos.shape[0] != max_rel_dist:
+        rel_pos = jax.image.resize(
+            rel_pos, (max_rel_dist, rel_pos.shape[1]), method="linear"
+        )
+    q_coords = np.arange(q_size)[:, None] * max(k_size / q_size, 1.0)
+    k_coords = np.arange(k_size)[None, :] * max(q_size / k_size, 1.0)
+    rel = (q_coords - k_coords) + (k_size - 1) * max(q_size / k_size, 1.0)
+    return rel_pos[jnp.asarray(rel.astype(np.int64))]
+
+
+def add_decomposed_rel_pos(
+    attn: jnp.ndarray,  # (B*H?, qh*qw, kh*kw)
+    q: jnp.ndarray,  # (B*H?, qh*qw, head_dim)
+    rel_pos_h: jnp.ndarray,
+    rel_pos_w: jnp.ndarray,
+    q_hw,
+    k_hw,
+) -> jnp.ndarray:
+    """attn + decomposed relative position biases (utils_eva02.py:120-157)."""
+    qh, qw = q_hw
+    kh, kw = k_hw
+    rh = get_rel_pos(qh, kh, rel_pos_h)  # (qh, kh, dim)
+    rw = get_rel_pos(qw, kw, rel_pos_w)
+    b = q.shape[0]
+    r_q = q.reshape(b, qh, qw, -1)
+    rel_h = jnp.einsum("bhwc,hkc->bhwk", r_q, rh.astype(q.dtype))
+    rel_w = jnp.einsum("bhwc,wkc->bhwk", r_q, rw.astype(q.dtype))
+    attn = attn.reshape(b, qh, qw, kh, kw)
+    attn = attn + rel_h[:, :, :, :, None] + rel_w[:, :, :, None, :]
+    return attn.reshape(b, qh * qw, kh * kw)

@@ -169,3 +169,31 @@ def build_ape_l_d(
         mask_on=mask_on,
         dtype=dtype,
     )
+
+
+def build_backbone_g(img_size=1024, dtype=jnp.float32, drop_path_rate=0.0):
+    """EVA-01 ViT-g (reference configs/common/backbone/vitg_eva01.py:9-40):
+    1408d/40L/16H, plain GELU MLP (ratio 6144/1408), decomposed rel-pos, no
+    RoPE, windows of 16 with every 4th block global."""
+    depth = 40
+    win = tuple(i for i in range(depth) if (i + 1) % 4 != 0)
+    return SimpleFeaturePyramid(
+        net=EVAViT(
+            img_size=img_size,
+            patch_size=16,
+            embed_dim=1408,
+            depth=depth,
+            num_heads=16,
+            mlp_ratio=6144 / 1408,
+            window_size=16,
+            window_block_indexes=win,
+            pretrain_img_size=224,
+            rope=False,
+            mlp_type="gelu",
+            use_rel_pos=True,
+            drop_path_rate=drop_path_rate,
+            dtype=dtype,
+        ),
+        out_channels=256,
+        dtype=dtype,
+    )

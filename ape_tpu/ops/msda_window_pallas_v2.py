@@ -48,6 +48,9 @@ def _hat(x):
     return jnp.maximum(0.0, 1.0 - jnp.abs(x))
 
 
+U_CHUNK = 4  # shifts accumulated in registers between accumulator RMWs
+
+
 class _PairGeom:
     """Static geometry of one (query grid, value grid) pair."""
 
@@ -147,7 +150,6 @@ def _pair_kernel_v2(
     out_ref,  # (1, tq, tw, C)
     slabs,  # VMEM scratch (P, sy, tile_rows, tw + max_a8 + pad8, C)
     acc_ref,  # VMEM scratch (tq, tw, C) f32
-    hx_ref,  # VMEM scratch (win, tq, tw, PH): per-u hats hoisted out of v-loop
     sems,  # DMA sems (P,)
     *,
     g: _PairGeom,
@@ -207,15 +209,17 @@ def _pair_kernel_v2(
     erows = jax.lax.broadcasted_iota(jnp.int32, (h, c), 0)
     expand = (ecols % h == erows).astype(jnp.float32)
 
-    # per-u bilinear hats do not depend on v: compute once, not win times
-    for u in range(g.win):
-        hx_ref[u] = _hat(u - px)
-
     for cp in copies:
         cp.wait()
 
     acc_ref[...] = jnp.zeros_like(acc_ref)
 
+    # u-loop in chunks: SSA-accumulate U_CHUNK contributions in registers, then
+    # one accumulator read-modify-write per chunk. The per-shift RMW of the
+    # (tq, tw, C) f32 accumulator is the kernel's bandwidth floor (121 x 2 x
+    # 512KB of VMEM traffic per tile); chunking divides it by U_CHUNK at the
+    # cost of U_CHUNK live (tq, tw, C) temporaries (Mosaic does not reuse
+    # stack slots across unrolled bodies — budgeted in _choose_tiles).
     def v_body(v, _):
         hy = _hat(v.astype(jnp.float32) - py)
         ahy = att * hy
@@ -225,24 +229,28 @@ def _pair_kernel_v2(
         else:
             phi_y = 0
             dy = v
-        for u in range(g.win):
-            whp = ahy * hx_ref[u]
-            w = whp[..., 0:h]
-            for pp in range(1, npt):
-                w = w + whp[..., pp * h : (pp + 1) * h]
-            w = jax.lax.dot_general(
-                w, expand,
-                dimension_numbers=(((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (tq, tw, C)
-            plane_idx, a8 = g.u_to_plane[u]
-            view = slabs[plane_idx, phi_y, pl.ds(dy, rows_q), a8 : a8 + tw, :]
-            if g.inv_y > 1:
-                # row element-repeat via broadcast+merge of two free dims
-                view = jnp.broadcast_to(
-                    view[:, None], (rows_q, g.inv_y, tw, view.shape[-1])
-                ).reshape(rows_q * g.inv_y, tw, view.shape[-1])
-            acc_ref[...] = acc_ref[...] + w * view.astype(jnp.float32)
+        for uc in range(0, g.win, U_CHUNK):
+            part = None
+            for u in range(uc, min(uc + U_CHUNK, g.win)):
+                whp = ahy * _hat(u - px)
+                w = whp[..., 0:h]
+                for pp in range(1, npt):
+                    w = w + whp[..., pp * h : (pp + 1) * h]
+                w = jax.lax.dot_general(
+                    w, expand,
+                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (tq, tw, C)
+                plane_idx, a8 = g.u_to_plane[u]
+                view = slabs[plane_idx, phi_y, pl.ds(dy, rows_q), a8 : a8 + tw, :]
+                if g.inv_y > 1:
+                    # row element-repeat via broadcast+merge of two free dims
+                    view = jnp.broadcast_to(
+                        view[:, None], (rows_q, g.inv_y, tw, view.shape[-1])
+                    ).reshape(rows_q * g.inv_y, tw, view.shape[-1])
+                contrib = w * view.astype(jnp.float32)
+                part = contrib if part is None else part + contrib
+            acc_ref[...] = acc_ref[...] + part
         return 0
 
     jax.lax.fori_loop(0, g.win, v_body, 0)
@@ -261,9 +269,9 @@ def _choose_tiles(g: _PairGeom, c: int, plane_bytes: int, budget=9 * 1024 * 1024
     def total(tq, tw):
         acc = tq * tw * c * 4
         blocks = tq * tw * (3 * 32 + 2 * c) * 4  # off/att in + out blocks (2x buf)
-        # hoisted per-u hats: PH=32 lanes pad to 128 in vregs -> 4x logical
-        hx = g.win * tq * tw * 32 * 4 * 4
-        return slab_bytes(tq, tw) + acc + blocks + hx
+        # U_CHUNK live (tq, tw, C) f32 temporaries from chunked accumulation
+        chunk_tmp = U_CHUNK * tq * tw * c * 4
+        return slab_bytes(tq, tw) + acc + blocks + chunk_tmp
 
     tq = min(32, g.hq)
     while g.hq % tq:
@@ -348,7 +356,6 @@ def _run_pair_v2(
                 (len(g.planes), g.sy, tile_rows, slab_w, c), plane_dtype
             ),
             pltpu.VMEM((tq, tw, c), jnp.float32),
-            pltpu.VMEM((g.win, tq, tw, heads * num_points), jnp.float32),
             pltpu.SemaphoreType.DMA((len(g.planes),)),
         ],
         interpret=interpret,

@@ -104,6 +104,17 @@ def install_reference_stubs():
     sys.modules["fvcore.nn"] = fnn
     sys.modules["fvcore.nn.weight_init"] = wi
 
+    if "fairscale" not in sys.modules:
+        fs = types.ModuleType("fairscale")
+        fsn = types.ModuleType("fairscale.nn")
+        fsc = types.ModuleType("fairscale.nn.checkpoint")
+        fsc.checkpoint_wrapper = lambda m, **k: m
+        fsn.checkpoint = fsc
+        fs.nn = fsn
+        sys.modules["fairscale"] = fs
+        sys.modules["fairscale.nn"] = fsn
+        sys.modules["fairscale.nn.checkpoint"] = fsc
+
     if "timm" not in sys.modules:
         timm = types.ModuleType("timm")
         tml = types.ModuleType("timm.models.layers")
@@ -116,7 +127,24 @@ def install_reference_stubs():
             def forward(self, x):
                 return x
 
+        class Mlp(nn.Module):
+            """timm Mlp semantics: fc1 -> act -> fc2 (drop=0 in eval oracles)."""
+
+            def __init__(self, in_features, hidden_features=None, out_features=None,
+                         act_layer=nn.GELU, drop=0.0):
+                super().__init__()
+                out_features = out_features or in_features
+                hidden_features = hidden_features or in_features
+                self.fc1 = nn.Linear(in_features, hidden_features)
+                self.act = act_layer()
+                self.fc2 = nn.Linear(hidden_features, out_features)
+                self.drop = nn.Dropout(drop)
+
+            def forward(self, x):
+                return self.drop(self.fc2(self.drop(self.act(self.fc1(x)))))
+
         tml.DropPath = DropPath
+        tml.Mlp = Mlp
         tml.trunc_normal_ = lambda *a, **k: None
         tm = types.ModuleType("timm.models")
         tm.layers = tml

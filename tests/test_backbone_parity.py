@@ -73,3 +73,47 @@ def test_eva02_vit_parity():
     scale = np.abs(ref_out).max()
     diff = np.abs(got_nchw - ref_out).max()
     assert diff < 2e-4 * max(scale, 1.0), (diff, scale)
+
+
+def test_eva01_vit_parity():
+    """EVA-01 flavor: plain MLP + decomposed rel-pos + beit-like qkv bias."""
+    torch = pytest.importorskip("torch")
+    mod = load_reference_module("vit_eva.py", "vit_eva")
+
+    torch.manual_seed(0)
+    img, embed, depth, heads, win = 32, 64, 2, 2, 2
+    ref = mod.ViT(
+        img_size=img, patch_size=16, embed_dim=embed, depth=depth,
+        num_heads=heads, mlp_ratio=4.0, drop_path_rate=0.0, window_size=win,
+        window_block_indexes=(0,), use_rel_pos=True, rel_pos_zero_init=False,
+        beit_like_qkv_bias=True, pretrain_img_size=32,
+        out_feature="last_feat",
+    ).eval()
+    sd = {f"backbone.net.{k}": v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    import jax
+    import jax.numpy as jnp
+
+    from ape_tpu.checkpoint.convert import convert_torch_state_dict, flatten_tree, unflatten_tree
+    from ape_tpu.modeling.backbone.eva_vit import EVAViT
+
+    ours = EVAViT(
+        img_size=img, patch_size=16, embed_dim=embed, depth=depth,
+        num_heads=heads, mlp_ratio=4.0, window_size=win,
+        window_block_indexes=(0,), pretrain_img_size=32,
+        rope=False, mlp_type="gelu", use_rel_pos=True,
+    )
+    x = np.random.RandomState(2).randn(1, img, img, 3).astype(np.float32)
+    template = ours.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    flat = convert_torch_state_dict(sd)
+    flat = {k.removeprefix("backbone/net/"): v for k, v in flat.items() if k.startswith("backbone/net/")}
+    tflat = flatten_tree(template)
+    missing = sorted(k for k in tflat if k not in flat)
+    assert not missing, f"unconverted: {missing}"
+    params = unflatten_tree({k: v for k, v in flat.items() if k in tflat})
+
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x).permute(0, 3, 1, 2))["last_feat"].numpy()
+    got = np.transpose(np.asarray(ours.apply({"params": params}, jnp.asarray(x))), (0, 3, 1, 2))
+    scale = np.abs(ref_out).max()
+    assert np.abs(got - ref_out).max() < 2e-4 * max(scale, 1.0)

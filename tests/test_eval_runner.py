@@ -84,3 +84,19 @@ def test_evaluate_dataset_runs(tmp_path, rng):
     results = evaluate_dataset(ape, name, mapper, iou_types=("bbox", "segm"))
     assert "bbox/AP" in results and "segm/AP" in results
     assert np.isfinite(results["bbox/AP"]) or np.isnan(results["bbox/AP"])
+
+
+def test_profile_stage_times(tmp_path, rng):
+    """Model-internal stage attribution (reference evaluator.py:92-160)."""
+    from tests.test_panoptic_e2e import _tiny_ape
+    from ape_tpu.engine.ape_wrapper import APE
+
+    model, params, FakeLanguage = _tiny_ape()
+    ape = APE(model, params, FakeLanguage(), dataset_names=[], max_text=4)
+    inp = {
+        "image": rng.randn(64, 64, 3).astype(np.float32),
+        "image_size": np.asarray([64, 64], np.int32),
+    }
+    t = ape.profile_stage_times(inp, iters=1)
+    assert set(t) >= {"backbone_time", "transformer_time", "postprocess_time"}
+    assert all(v >= 0 for v in t.values())
