@@ -48,7 +48,10 @@ def _hat(x):
     return jnp.maximum(0.0, 1.0 - jnp.abs(x))
 
 
-U_CHUNK = 4  # shifts accumulated in registers between accumulator RMWs
+# Shifts accumulated in registers between accumulator RMWs. Measured on v5e:
+# 4 is NOT faster than 1 (7.69 vs 7.43 ms on the 256^2 pair) — the accumulator
+# RMW is not the kernel's floor; kept =1 (pure per-shift RMW, smallest VMEM).
+U_CHUNK = 1
 
 
 class _PairGeom:

@@ -77,3 +77,15 @@ def test_window_gradients_flow(rng):
     np.testing.assert_allclose(np.asarray(gv), np.asarray(gv2), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(ga), np.asarray(ga2), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(go), np.asarray(go2), rtol=1e-3, atol=1e-4)
+
+
+def test_window_clamp_fraction():
+    import numpy as np
+
+    from ape_tpu.ops.msda_dispatch import window_clamp_fraction
+
+    off = np.zeros((2, 10, 4, 2, 4, 2), np.float32)
+    off[0, 0, 0, 0, 0, 0] = 9.0  # one offset beyond the radius
+    frac = window_clamp_fraction(off, radius=4)
+    assert abs(frac - 1.0 / off.size) < 1e-9
+    assert window_clamp_fraction(np.full_like(off, 2.0), radius=4) == 0.0

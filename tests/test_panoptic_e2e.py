@@ -143,3 +143,19 @@ def test_refcoco_routing(tmp_path):
     mapper = DatasetMapperDETR(is_train=False, image_size=64)
     r = evaluate_dataset(ape, name, mapper)
     assert "refcoco/P@0.5" in r
+
+
+def test_oid_routing(tmp_path):
+    model, params, FakeLanguage = _tiny_ape()
+    from ape_tpu.engine.ape_wrapper import APE
+
+    d = _image_dict(tmp_path, 0)
+    d["annotations"] = [{"category_id": 0, "bbox": [8.0, 8.0, 40.0, 40.0]}]
+    d["neg_category_ids"] = [1]
+    name = "oid_synth"
+    _register(name, [d], thing_classes=["a", "b"], evaluator_type="oid")
+    ape = APE(model, params, FakeLanguage(), dataset_names=[name], max_text=4,
+              test_score_thresh=0.0)
+    mapper = DatasetMapperDETR(is_train=False, image_size=64)
+    r = evaluate_dataset(ape, name, mapper)
+    assert "bbox/AP" in r and "bbox/APr" in r  # hierarchical-AP result keys
