@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Sequence, Tuple
 
 import jax
@@ -48,10 +49,14 @@ def _hat(x):
     return jnp.maximum(0.0, 1.0 - jnp.abs(x))
 
 
-# Shifts accumulated in registers between accumulator RMWs. Measured on v5e:
-# 4 is NOT faster than 1 (7.69 vs 7.43 ms on the 256^2 pair) — the accumulator
-# RMW is not the kernel's floor; kept =1 (pure per-shift RMW, smallest VMEM).
-U_CHUNK = 1
+# Shifts accumulated in registers between accumulator RMWs. Measured on v5e
+# BEFORE the K=32 expand rewrite: 4 was not faster than 1 (the K=8 weight math
+# hid the RMW). Env-overridable for probing now that the weight math is fixed.
+U_CHUNK = int(os.environ.get("APE_MSDA_U_CHUNK", "1"))
+
+# VMEM budget for slabs+accumulator, bytes. 9 MiB was the round-1 safe point;
+# larger budgets shrink the halo fraction of each DMA (tile_rows grows).
+VMEM_BUDGET = int(os.environ.get("APE_MSDA_VMEM_MB", "9")) * 1024 * 1024
 
 
 class _PairGeom:
@@ -207,10 +212,15 @@ def _pair_kernel_v2(
     py = oy + (pad + rem_y)
 
     c = out_ref.shape[-1]
-    # weight expansion matrix (H -> C, value lanes d-major: lane = d*H + h)
-    ecols = jax.lax.broadcasted_iota(jnp.int32, (h, c), 1)
-    erows = jax.lax.broadcasted_iota(jnp.int32, (h, c), 0)
-    expand = (ecols % h == erows).astype(jnp.float32)
+    # weight expansion matrix (P*H -> C, value lanes d-major: lane = d*H + h):
+    # expand2[p*H + hh, d*H + h] = (h == hh) folds the point-sum INTO the MXU
+    # contraction. Feeding the full (tq, tw, P*H) hat product to the MXU keeps
+    # every intermediate at >=32 lanes; the previous per-point 8-lane slices
+    # (whp[..., p*H:(p+1)*H]) forced Mosaic relayouts that dominated the kernel
+    # (probe: 7.5 ms -> 1.7 ms on the 256^2 same-res pair).
+    e2r = jax.lax.broadcasted_iota(jnp.int32, (h * npt, c), 0)
+    e2c = jax.lax.broadcasted_iota(jnp.int32, (h * npt, c), 1)
+    expand2 = (e2c % h == e2r % h).astype(jnp.float32)
 
     for cp in copies:
         cp.wait()
@@ -236,11 +246,8 @@ def _pair_kernel_v2(
             part = None
             for u in range(uc, min(uc + U_CHUNK, g.win)):
                 whp = ahy * _hat(u - px)
-                w = whp[..., 0:h]
-                for pp in range(1, npt):
-                    w = w + whp[..., pp * h : (pp + 1) * h]
                 w = jax.lax.dot_general(
-                    w, expand,
+                    whp, expand2,
                     dimension_numbers=(((2,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )  # (tq, tw, C)
@@ -260,7 +267,8 @@ def _pair_kernel_v2(
     out_ref[0] = acc_ref[...].astype(out_ref.dtype)
 
 
-def _choose_tiles(g: _PairGeom, c: int, plane_bytes: int, budget=9 * 1024 * 1024):
+def _choose_tiles(g: _PairGeom, c: int, plane_bytes: int, budget=None):
+    budget = budget or VMEM_BUDGET
     """Pick (tq, tw) so the slab stack + accumulator fit VMEM."""
     n_planes = len(g.planes)
 

@@ -1,0 +1,134 @@
+"""Forward-pass attribution at APE-Ti bench scale on the real TPU.
+
+Times, as separate jits with synthesized params:
+  * full model forward (bench protocol)
+  * backbone + neck
+  * encoder stack (6 layers, window MSDA + FFN at 87k tokens)
+  * DETA first-stage select (tiled NMS)
+remainder ~= decoder + per-layer heads + mask decoder.
+
+    python experiments/attrib.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+IMG = int(os.environ.get("BENCH_IMG", 1024))
+DTYPE = jnp.dtype(os.environ.get("BENCH_DTYPE", "bfloat16"))
+
+
+def timed(fn, *args, iters=6):
+    out = fn(*args)
+    np.asarray(jax.tree_util.tree_leaves(out)[0])[..., :1]
+    t0 = time.perf_counter()
+    for k in range(iters):
+        out = fn(*(a if i else a + float(k) * 1e-4 for i, a in enumerate(args)))
+    np.asarray(jax.tree_util.tree_leaves(out)[0])[..., :1]
+    return (time.perf_counter() - t0) / iters
+
+
+def synth_params(model, init_fn):
+    shapes = jax.eval_shape(init_fn, jax.random.PRNGKey(0))["params"]
+    prng = np.random.RandomState(0)
+    return jax.tree.map(
+        lambda s: jnp.asarray(prng.normal(0, 0.02, s.shape).astype(s.dtype)), shapes
+    )
+
+
+def main():
+    from ape_tpu.modeling.build import build_ape_ti
+
+    model = build_ape_ti(img_size=IMG, num_queries=900, window_radius=4, dtype=DTYPE)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randn(1, IMG, IMG, 3), jnp.float32)
+    sizes = jnp.asarray([[IMG, IMG]], jnp.int32)
+    text = jnp.asarray(rng.randn(1, 80, 1024), jnp.float32)
+    tvalid = jnp.ones((1, 80), bool)
+
+    params = synth_params(
+        model, lambda r: model.init(r, images, sizes, text, tvalid)
+    )
+
+    @jax.jit
+    def full(params, images):
+        out = model.apply({"params": params}, images, sizes, text, tvalid)
+        return out["pred_logits"], out["pred_boxes"], out.get("pred_masks")
+
+    @jax.jit
+    def bb(params, images):
+        f = model.backbone.apply({"params": params["backbone"]}, images, True)
+        if model.neck is not None:
+            f = model.neck.apply({"params": params["neck"]}, f)
+        return f
+
+    t_full = timed(full, params, images)
+    t_bb = timed(bb, params, images)
+
+    # ---- encoder stack at production shapes ----
+    feats = bb(params, images)
+    mlf = [feats[f] for f in model.in_features]
+    level_shapes = tuple((f.shape[1], f.shape[2]) for f in mlf)
+    S = sum(h * w for h, w in level_shapes)
+    C = model.embed_dim
+    enc = model.transformer.encoder
+
+    from ape_tpu.modeling.ape_deta.transformer import (
+        encoder_grid_corrections,
+        encoder_reference_points,
+    )
+
+    x = jnp.asarray(rng.randn(1, S, C), DTYPE)
+    pos = jnp.asarray(rng.randn(1, S, C), DTYPE)
+    vmask = jnp.ones((1, S), bool)
+    refp = encoder_reference_points(level_shapes, jnp.ones((1, len(level_shapes), 2)))
+    gcorr = encoder_grid_corrections(level_shapes)
+
+    enc_params = synth_params(
+        enc,
+        lambda r: enc.init(
+            r, x, pos, vmask, None, None, level_shapes, refp, gcorr
+        ),
+    )
+
+    @jax.jit
+    def enc_fwd(p, x):
+        out, _ = enc.apply(
+            {"params": p}, x, pos, vmask, None, None, level_shapes, refp, gcorr
+        )
+        return out
+
+    t_enc = timed(enc_fwd, enc_params, x)
+
+    # ---- DETA first-stage select ----
+    from ape_tpu.modeling.ape_deta.transformer import deta_first_stage_select
+
+    logits = jnp.asarray(rng.randn(1, S, 1), jnp.float32)
+    boxes = jnp.asarray(rng.randn(1, S, 4) * 0.1, jnp.float32)
+    valid = jnp.ones((1, S), bool)
+
+    @jax.jit
+    def select(logits, boxes):
+        return deta_first_stage_select(
+            logits, boxes, valid, level_shapes, topk=900
+        )
+
+    t_sel = timed(select, logits, boxes)
+
+    print(f"full forward      : {t_full*1e3:8.1f} ms   ({1.0/t_full:.2f} img/s)")
+    print(f"backbone+neck     : {t_bb*1e3:8.1f} ms")
+    print(f"encoder (6 layers): {t_enc*1e3:8.1f} ms")
+    print(f"first-stage select: {t_sel*1e3:8.1f} ms")
+    rem = t_full - t_bb - t_enc - t_sel
+    print(f"remainder (decoder+heads+maskdec): {rem*1e3:8.1f} ms")
+
+
+if __name__ == "__main__":
+    main()
