@@ -62,9 +62,18 @@ _COCO_STYLE = {
     "refcocog-umd-test": ("refcoco/annotations/refcocog-umd-test.json", "coco/train2014", "refcoco"),
     # GQA / PhraseCut / Flickr30k / GRiT
     "gqa_region_train": ("gqa/annotations/train_region.json", "gqa/images", "coco"),
+    "gqa_region_val": ("gqa/annotations/val_region.json", "gqa/images", "refcoco"),
     "phrasecut_train": ("phrasecut/annotations/train.json", "phrasecut/images", "coco"),
+    "phrasecut_val": ("phrasecut/annotations/val.json", "phrasecut/images", "refcoco"),
     "flickr30k_separateGT_train": ("flickr30k/annotations/final_flickr_separateGT_train.json", "flickr30k/images", "coco"),
+    "flickr30k_separateGT_val": ("flickr30k/annotations/final_flickr_separateGT_val.json", "flickr30k/images", "refcoco"),
+    "flickr30k_separateGT_test": ("flickr30k/annotations/final_flickr_separateGT_test.json", "flickr30k/images", "refcoco"),
     "grit_5m": ("grit/annotations/grit_5m.json", "grit/images", "coco"),
+    "visualgenome_region_val": ("visualgenome/annotations/val_region.json", "visualgenome/images", "refcoco"),
+    # COCO-Stuff semantic eval via the panoptic stuff-only group
+    "coco_2017_val_panoptic_stuffonly": (
+        "coco/annotations/panoptic_val2017_stuffonly.json", "coco/val2017", "sem_seg"
+    ),
 }
 
 ODINW_13 = [
@@ -72,6 +81,38 @@ ODINW_13 = [
     "NorthAmericaMushrooms", "Packages", "PascalVOC", "Raccoon", "ShellfishOpenImages",
     "VehiclesOpenImages", "pistols", "pothole", "thermalDogsAndPeople",
 ]
+
+# panoptic datasets: name -> (panoptic json, image root, panoptic png root)
+# (reference registers these via detectron2 register_coco_panoptic; the eval
+# task dirs COCO/ADE20k/BDD10k/Cityscapes/PascalVOCParts_PanopticSegmentation)
+_PANOPTIC = {
+    "coco_2017_train_panoptic": (
+        "coco/annotations/panoptic_train2017.json", "coco/train2017", "coco/panoptic_train2017"
+    ),
+    "coco_2017_val_panoptic": (
+        "coco/annotations/panoptic_val2017.json", "coco/val2017", "coco/panoptic_val2017"
+    ),
+    "ade20k_panoptic_val": (
+        "ADEChallengeData2016/ade20k_panoptic_val.json",
+        "ADEChallengeData2016/images/validation",
+        "ADEChallengeData2016/ade20k_panoptic_val",
+    ),
+    "bdd10k_40_panoptic_val": (
+        "bdd100k/labels/pan_seg/panoptic_val.json",
+        "bdd100k/images/10k/val",
+        "bdd100k/labels/pan_seg/bitmasks/val",
+    ),
+    "cityscapes_fine_panoptic_val": (
+        "cityscapes/gtFine/cityscapes_panoptic_val.json",
+        "cityscapes/leftImg8bit/val",
+        "cityscapes/gtFine/cityscapes_panoptic_val",
+    ),
+    "pascal_parts_panoptic_val": (
+        "VOCdevkit/VOC2010/pascal_parts_panoptic_val.json",
+        "VOCdevkit/VOC2010/JPEGImages",
+        "VOCdevkit/VOC2010/pascal_parts_panoptic_val",
+    ),
+}
 
 # semantic segmentation datasets (ade20k, pascal context, voc, bdd, cityscapes)
 _SEM_SEG = {
@@ -166,6 +207,8 @@ def register_metadata():
             _set_meta(key, evaluator_type=et)
     for key in _SEM_SEG:
         _set_meta(key, evaluator_type="sem_seg")
+    for key in _PANOPTIC:
+        _set_meta(key, evaluator_type="panoptic")
 
 
 def register_all(root: str = _ROOT) -> int:
@@ -216,6 +259,18 @@ def register_all(root: str = _ROOT) -> int:
         gp = os.path.join(root, gt_rel)
         if os.path.isdir(gp):
             register_sem_seg(name, {}, gp, os.path.join(root, img_rel))
+            n += 1
+
+    from ape_tpu.data.datasets.coco import register_coco_panoptic
+
+    for name, (json_rel, img_rel, pan_rel) in _PANOPTIC.items():
+        if name in DatasetCatalog:
+            continue
+        jp = os.path.join(root, json_rel)
+        if os.path.exists(jp):
+            register_coco_panoptic(
+                name, {}, jp, os.path.join(root, img_rel), os.path.join(root, pan_rel)
+            )
             n += 1
     if n:
         logger.info(f"registered {n} builtin datasets under {root}")

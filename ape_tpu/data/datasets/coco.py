@@ -111,6 +111,47 @@ def register_sem_seg(name: str, metadata: Dict, gt_root: str, image_root: str):
     )
 
 
+def load_coco_panoptic(json_file: str, image_root: str, pan_seg_root: str):
+    """COCO panoptic format loader (detectron2 register_coco_panoptic semantics:
+    panoptic json with per-image segments_info + RGB-encoded id PNGs)."""
+    with open(json_file) as f:
+        pan = json.load(f)
+    images = {im["id"]: im for im in pan.get("images", [])}
+    dicts = []
+    for ann in pan.get("annotations", []):
+        im = images.get(ann["image_id"], {})
+        fname = im.get("file_name", ann["file_name"].replace(".png", ".jpg"))
+        dicts.append(
+            {
+                "file_name": os.path.join(image_root, fname),
+                "image_id": ann["image_id"],
+                "height": im.get("height"),
+                "width": im.get("width"),
+                "pan_seg_file_name": os.path.join(pan_seg_root, ann["file_name"]),
+                "segments_info": ann["segments_info"],
+            }
+        )
+    logger.info(f"loaded {len(dicts)} panoptic images from {json_file}")
+    return dicts
+
+
+def register_coco_panoptic(
+    name: str, metadata: Dict, json_file: str, image_root: str, pan_seg_root: str
+):
+    """Equivalent of detectron2 register_coco_panoptic used by the reference's
+    panoptic configs (ape/data/datasets/coco_panoptic.py conventions)."""
+    DatasetCatalog.register(
+        name, lambda: load_coco_panoptic(json_file, image_root, pan_seg_root)
+    )
+    MetadataCatalog.get(name).set(
+        evaluator_type="panoptic",
+        json_file=json_file,
+        image_root=image_root,
+        pan_seg_root=pan_seg_root,
+        **metadata,
+    )
+
+
 def get_fed_loss_cls_weights(dataset_name: str, freq_weight_power: float = 0.5):
     """Per-class federated-loss weights from annotation frequency
     (reference ape/data/detection_utils.py:29-127 from *_cat_info.json)."""

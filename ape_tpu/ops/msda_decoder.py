@@ -118,14 +118,66 @@ def ms_deform_attn_dense(
     return out.transpose(0, 2, 1, 3).reshape(b, q, h * d).astype(value.dtype)
 
 
+def _dvalue_dense(spatial_shapes, loc, att, g, b, s, h, d, precision):
+    """d_value via explicit separable contractions (no scatter anywhere).
+
+    d_V[r,c,:] = sum_{q,p} att*hat(y_qp - r) * hat(x_qp - c) * g[q,:]
+
+    contracted as, per level and per point p (scanned, 4 steps):
+      M   = hx_p[...,c] * g[...,d]            (B,H,Q,Wv,D)   VPU outer
+      d_V += A_p^T @ M                        (Hv,Q)@(Q,Wv*D) MXU
+    ~160 GFLOP at APE scale vs the autodiff transpose of the dense forward,
+    which XLA lowers through scatter-shaped intermediates (~790 ms measured).
+    """
+    compute = jnp.float32
+    q = loc.shape[1]
+    p = loc.shape[4]
+    g4 = g.reshape(b, q, h, d).transpose(0, 2, 1, 3).astype(compute)  # (B,H,Q,D)
+
+    starts, _ = level_start_index(spatial_shapes)
+    pieces = []
+    for lvl, (hv, wv) in enumerate(spatial_shapes):
+        x = loc[:, :, :, lvl, :, 0].astype(compute) * wv - 0.5  # (B,Q,H,P)
+        y = loc[:, :, :, lvl, :, 1].astype(compute) * hv - 0.5
+        cols = jnp.arange(wv, dtype=compute)
+        rows = jnp.arange(hv, dtype=compute)
+        hx = _hat(x[..., None] - cols).transpose(0, 2, 1, 3, 4)  # (B,H,Q,P,Wv)
+        a_hy = (
+            att[:, :, :, lvl, :, None].astype(compute) * _hat(y[..., None] - rows)
+        ).transpose(0, 2, 1, 3, 4)  # (B,H,Q,P,Hv)
+
+        def step(acc, operand):
+            hx_p, ahy_p = operand  # (B,H,Q,Wv), (B,H,Q,Hv)
+            m = (hx_p[..., :, None] * g4[..., None, :]).reshape(b, h, q, wv * d)
+            acc = acc + jax.lax.dot_general(
+                ahy_p,
+                m,
+                dimension_numbers=(((2,), (2,)), ((0, 1), (0, 1))),
+                precision=precision,
+                preferred_element_type=compute,
+            ).reshape(b, h, hv, wv, d)
+            return acc, None
+
+        dv_l, _ = jax.lax.scan(
+            step,
+            jnp.zeros((b, h, hv, wv, d), compute),
+            (hx.transpose(3, 0, 1, 2, 4), a_hy.transpose(3, 0, 1, 2, 4)),
+        )
+        pieces.append(dv_l.transpose(0, 2, 3, 1, 4).reshape(b, hv * wv, h, d))
+    return jnp.concatenate(pieces, axis=1)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def ms_deform_attn_decoder(value, spatial_shapes, sampling_locations, attention_weights):
-    """Production decoder MSDA: exact-gather forward, dense-matmul backward.
+    """Production decoder MSDA: exact-gather forward, hybrid backward.
 
     Measured on v5e (round 2 probes): the gather forward is ~5 ms/layer while
-    the dense forward is ~26 ms; the dense VJP is ~2.5x faster than the
-    gather's scatter-add VJP. Both paths compute identical math (tests), so
-    the hybrid takes each one where it wins.
+    the dense forward is ~26 ms. Backward splits by destination:
+      * d_loc / d_att: jax.vjp of the GATHER path w.r.t. (loc, att) only —
+        re-reads the same 4 corners per point, no scatter is involved.
+      * d_value: explicit separable matmul contraction (_dvalue_dense) — the
+        scatter-shaped part is what made both autodiff backwards pathological
+        (gather VJP ~2.0 s, dense VJP ~0.79 s per layer).
     """
     return ms_deform_attn(value, spatial_shapes, sampling_locations, attention_weights)
 
@@ -137,10 +189,15 @@ def _dec_fwd(value, spatial_shapes, sampling_locations, attention_weights):
 
 def _dec_bwd(spatial_shapes, res, g):
     value, loc, att = res
-    _, vjp = jax.vjp(
-        lambda v, l, a: ms_deform_attn_dense(v, spatial_shapes, l, a), value, loc, att
+    b, s, h, d = value.shape
+    _, vjp_la = jax.vjp(
+        lambda l, a: ms_deform_attn(value, spatial_shapes, l, a), loc, att
     )
-    return vjp(g)
+    d_loc, d_att = vjp_la(g)
+    d_value = _dvalue_dense(
+        spatial_shapes, loc, att, g, b, s, h, d, jax.lax.Precision.DEFAULT
+    ).astype(value.dtype)
+    return d_value, d_loc, d_att
 
 
 ms_deform_attn_decoder.defvjp(_dec_fwd, _dec_bwd)

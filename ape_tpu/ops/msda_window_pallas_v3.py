@@ -153,9 +153,9 @@ def _row_kernel_v3(*refs, gs, heads, num_points, tq, tw, slab_ws, single_x, sing
             _accumulate_level(
                 acc_ref,
                 slabs[k],
-                offx_ref[0],
-                offy_ref[0],
-                att_ref[0],
+                offx_ref[0, 0],
+                offy_ref[0, 0],
+                att_ref[0, 0],
                 gk,
                 heads,
                 num_points,

@@ -1,0 +1,34 @@
+# D-cube described-object detection eval (FULL/PRES/ABS AP)
+# (reference: configs/D3_InstanceSegmentation/ape_deta/*)
+import os
+
+from ape_tpu.config import L, LazyConfig
+from ape_tpu.data.mapper import DatasetMapperDETR
+
+_dir = os.path.dirname(__file__)
+_base = LazyConfig.load(
+    os.path.join(_dir, "../../LVIS_InstanceSegmentation/ape_deta/ape_deta_vitl_eva02_clip_vlf_lsj1024.py")
+)
+model = _base.model
+criterion = _base.criterion
+optimizer = _base.optimizer
+language = _base.language
+train = _base.train
+train.output_dir = "./output/eval_d3_instancesegmentation"
+
+
+dataloader = dict(
+    train=dict(dataset_names=[], mapper=None, batch_size=1),
+    tests=[
+        dict(
+            dataset_name="d3_inter_scenario",
+            mapper=L(DatasetMapperDETR)(is_train=False, image_size=1024),
+            evaluator_type="d3",
+        ),
+        dict(
+            dataset_name="d3_intra_scenario",
+            mapper=L(DatasetMapperDETR)(is_train=False, image_size=1024),
+            evaluator_type="d3",
+        ),
+    ],
+)

@@ -1,0 +1,54 @@
+# RefCOCO suite eval with the LVIS+Stuff flagship vocabulary
+# (reference: configs/LVISCOCOCOCOSTUFF_REFCOCO/ape_deta/*)
+import os
+
+from ape_tpu.config import L, LazyConfig
+from ape_tpu.data.mapper import DatasetMapperDETR
+
+_dir = os.path.dirname(__file__)
+_base = LazyConfig.load(
+    os.path.join(_dir, "../../LVIS_InstanceSegmentation/ape_deta/ape_deta_vitl_eva02_clip_vlf_lsj1024.py")
+)
+model = _base.model
+criterion = _base.criterion
+optimizer = _base.optimizer
+language = _base.language
+train = _base.train
+train.output_dir = "./output/eval_lviscocococostuff_refcoco"
+
+
+dataloader = dict(
+    train=dict(dataset_names=[], mapper=None, batch_size=1),
+    tests=[
+        dict(
+            dataset_name="refcoco-unc-val",
+            mapper=L(DatasetMapperDETR)(is_train=False, image_size=1024),
+            evaluator_type="refcoco",
+        ),
+        dict(
+            dataset_name="refcoco-unc-testA",
+            mapper=L(DatasetMapperDETR)(is_train=False, image_size=1024),
+            evaluator_type="refcoco",
+        ),
+        dict(
+            dataset_name="refcoco-unc-testB",
+            mapper=L(DatasetMapperDETR)(is_train=False, image_size=1024),
+            evaluator_type="refcoco",
+        ),
+        dict(
+            dataset_name="refcocoplus-unc-val",
+            mapper=L(DatasetMapperDETR)(is_train=False, image_size=1024),
+            evaluator_type="refcoco",
+        ),
+        dict(
+            dataset_name="refcocog-umd-val",
+            mapper=L(DatasetMapperDETR)(is_train=False, image_size=1024),
+            evaluator_type="refcoco",
+        ),
+        dict(
+            dataset_name="refcocog-umd-test",
+            mapper=L(DatasetMapperDETR)(is_train=False, image_size=1024),
+            evaluator_type="refcoco",
+        ),
+    ],
+)

@@ -25,14 +25,37 @@ IMG = int(os.environ.get("BENCH_IMG", 1024))
 DTYPE = jnp.dtype(os.environ.get("BENCH_DTYPE", "bfloat16"))
 
 
-def timed(fn, *args, iters=6):
-    out = fn(*args)
-    np.asarray(jax.tree_util.tree_leaves(out)[0])[..., :1]
-    t0 = time.perf_counter()
-    for k in range(iters):
-        out = fn(*(a if i else a + float(k) * 1e-4 for i, a in enumerate(args)))
-    np.asarray(jax.tree_util.tree_leaves(out)[0])[..., :1]
-    return (time.perf_counter() - t0) / iters
+def timed(fn, *args, chains=(1, 3), reps=3):
+    """Chained-slope timing: fn applied n times inside ONE jit, scalar out.
+
+    fn must accept (x, *rest) and the chain perturbs x by an in-graph scalar,
+    so nothing re-ships through the tunnel between applications.
+    """
+    x, rest = args[0], args[1:]
+    alts = [jax.tree.map(lambda a: a + k * 1e-4, x) for k in range(1, reps + 1)]
+    for a in alts:
+        np.asarray(jax.tree_util.tree_leaves(a)[0].ravel()[:1])
+
+    times = {}
+    for n in chains:
+        @jax.jit
+        def chained(x, *rest):
+            acc = jnp.float32(0)
+            for _ in range(n):
+                out = fn(jax.tree.map(lambda a: a + acc.astype(a.dtype) * 1e-9, x), *rest)
+                leaf = jax.tree_util.tree_leaves(out)[0]
+                acc = acc + jnp.sum(leaf[(0,) * (leaf.ndim - 1)][:1]).astype(jnp.float32)
+            return acc
+
+        float(chained(x, *rest))
+        best = float("inf")
+        for a in alts:
+            t0 = time.perf_counter()
+            float(chained(a, *rest))
+            best = min(best, time.perf_counter() - t0)
+        times[n] = best
+    n0, n1 = chains
+    return (times[n1] - times[n0]) / (n1 - n0)
 
 
 def synth_params(model, init_fn):
@@ -57,23 +80,21 @@ def main():
         model, lambda r: model.init(r, images, sizes, text, tvalid)
     )
 
-    @jax.jit
-    def full(params, images):
+    def full(images, params):
         out = model.apply({"params": params}, images, sizes, text, tvalid)
         return out["pred_logits"], out["pred_boxes"], out.get("pred_masks")
 
-    @jax.jit
-    def bb(params, images):
+    def bb(images, params):
         f = model.backbone.apply({"params": params["backbone"]}, images, True)
         if model.neck is not None:
             f = model.neck.apply({"params": params["neck"]}, f)
         return f
 
-    t_full = timed(full, params, images)
-    t_bb = timed(bb, params, images)
+    t_full = timed(full, images, params)
+    t_bb = timed(bb, images, params)
 
     # ---- encoder stack at production shapes ----
-    feats = bb(params, images)
+    feats = jax.jit(bb)(images, params)
     mlf = [feats[f] for f in model.in_features]
     level_shapes = tuple((f.shape[1], f.shape[2]) for f in mlf)
     S = sum(h * w for h, w in level_shapes)
@@ -88,8 +109,9 @@ def main():
     x = jnp.asarray(rng.randn(1, S, C), DTYPE)
     pos = jnp.asarray(rng.randn(1, S, C), DTYPE)
     vmask = jnp.ones((1, S), bool)
-    refp = encoder_reference_points(level_shapes, jnp.ones((1, len(level_shapes), 2)))
-    gcorr = encoder_grid_corrections(level_shapes)
+    vr = jnp.ones((1, len(level_shapes), 2))
+    refp = encoder_reference_points(level_shapes, vr)
+    gcorr = encoder_grid_corrections(level_shapes, vr)
 
     enc_params = synth_params(
         enc,
@@ -98,23 +120,21 @@ def main():
         ),
     )
 
-    @jax.jit
-    def enc_fwd(p, x):
+    def enc_fwd(x, p):
         out, _ = enc.apply(
             {"params": p}, x, pos, vmask, None, None, level_shapes, refp, gcorr
         )
         return out
 
-    t_enc = timed(enc_fwd, enc_params, x)
+    t_enc = timed(enc_fwd, x, enc_params)
 
     # ---- DETA first-stage select ----
     from ape_tpu.modeling.ape_deta.transformer import deta_first_stage_select
 
-    logits = jnp.asarray(rng.randn(1, S, 1), jnp.float32)
+    logits = jnp.asarray(rng.randn(1, S), jnp.float32)
     boxes = jnp.asarray(rng.randn(1, S, 4) * 0.1, jnp.float32)
     valid = jnp.ones((1, S), bool)
 
-    @jax.jit
     def select(logits, boxes):
         return deta_first_stage_select(
             logits, boxes, valid, level_shapes, topk=900
