@@ -49,9 +49,10 @@ def _hat(x):
     return jnp.maximum(0.0, 1.0 - jnp.abs(x))
 
 
-# Shifts accumulated in registers between accumulator RMWs. Measured on v5e
-# BEFORE the K=32 expand rewrite: 4 was not faster than 1 (the K=8 weight math
-# hid the RMW). Env-overridable for probing now that the weight math is fixed.
+# Historical knob: shifts accumulated between accumulator RMWs. Measured
+# neutral both before and after the K=32 expand rewrite (Mosaic materializes
+# the chunk temporaries in VMEM stack slots, so chunking just moves the RMW
+# traffic). The production kernel no longer chunks; kept for probe scripts.
 U_CHUNK = int(os.environ.get("APE_MSDA_U_CHUNK", "1"))
 
 # VMEM budget for slabs+accumulator, bytes. 9 MiB was the round-1 safe point;
@@ -151,6 +152,7 @@ def _prep_planes(v_l, g: _PairGeom, plane_dtype):
 
 
 def _pair_kernel_v2(
+    bounds_ref,  # (B, nty, ntx, 4) int32 SMEM (whole array): [u_lo, u_hi, v_lo, v_hi]
     offx_ref,  # (1, tq, tw, PH) f32, lane order p-major (lane = p*H + h)
     offy_ref,
     att_ref,
@@ -218,21 +220,30 @@ def _pair_kernel_v2(
     # every intermediate at >=32 lanes; the previous per-point 8-lane slices
     # (whp[..., p*H:(p+1)*H]) forced Mosaic relayouts that dominated the kernel
     # (probe: 7.5 ms -> 1.7 ms on the 256^2 same-res pair).
+    # bf16 operands: the expand contraction is ~130 GFLOP on the 256^2 pair and
+    # f32 MXU runs at 1/8 rate — bf16 weights add quantization no worse than
+    # the bf16 value planes already in the FMA path.
     e2r = jax.lax.broadcasted_iota(jnp.int32, (h * npt, c), 0)
     e2c = jax.lax.broadcasted_iota(jnp.int32, (h * npt, c), 1)
-    expand2 = (e2c % h == e2r % h).astype(jnp.float32)
+    expand2 = (e2c % h == e2r % h).astype(jnp.bfloat16)
 
     for cp in copies:
         cp.wait()
 
     acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    # u-loop in chunks: SSA-accumulate U_CHUNK contributions in registers, then
-    # one accumulator read-modify-write per chunk. The per-shift RMW of the
-    # (tq, tw, C) f32 accumulator is the kernel's bandwidth floor (121 x 2 x
-    # 512KB of VMEM traffic per tile); chunking divides it by U_CHUNK at the
-    # cost of U_CHUNK live (tq, tw, C) temporaries (Mosaic does not reuse
-    # stack slots across unrolled bodies — budgeted in _choose_tiles).
+    # Dynamic tap-ROW skip: learned offsets are local, so per query tile the
+    # bilinear hats are provably zero outside [v_lo, v_hi] (bounds from the
+    # XLA-side min/max of the clipped sample positions — _tap_bounds). Only the
+    # v loop gets dynamic bounds: the u loop stays STATICALLY UNROLLED because
+    # measured on v5e (a) a dynamic/predicated u loop breaks Mosaic's tap
+    # pipelining (+1.7 ms on the 256^2 pair when the full window is active) and
+    # (b) the per-tile fixed cost (~2.4 ms, DMA-wait dominated) caps what finer
+    # u-skipping can recover (2.8 vs 3.0 ms at bench-scale offsets). Exact: the
+    # skipped v rows contribute zero for every query/point/head in the tile.
+    v_lo = bounds_ref[b, ty, tx, 2]
+    v_hi = bounds_ref[b, ty, tx, 3]
+
     def v_body(v, _):
         hy = _hat(v.astype(jnp.float32) - py)
         ahy = att * hy
@@ -242,28 +253,24 @@ def _pair_kernel_v2(
         else:
             phi_y = 0
             dy = v
-        for uc in range(0, g.win, U_CHUNK):
-            part = None
-            for u in range(uc, min(uc + U_CHUNK, g.win)):
-                whp = ahy * _hat(u - px)
-                w = jax.lax.dot_general(
-                    whp, expand2,
-                    dimension_numbers=(((2,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (tq, tw, C)
-                plane_idx, a8 = g.u_to_plane[u]
-                view = slabs[plane_idx, phi_y, pl.ds(dy, rows_q), a8 : a8 + tw, :]
-                if g.inv_y > 1:
-                    # row element-repeat via broadcast+merge of two free dims
-                    view = jnp.broadcast_to(
-                        view[:, None], (rows_q, g.inv_y, tw, view.shape[-1])
-                    ).reshape(rows_q * g.inv_y, tw, view.shape[-1])
-                contrib = w * view.astype(jnp.float32)
-                part = contrib if part is None else part + contrib
-            acc_ref[...] = acc_ref[...] + part
+        for u in range(g.win):
+            whp = ahy * _hat(u - px)
+            w = jax.lax.dot_general(
+                whp.astype(jnp.bfloat16), expand2,
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (tq, tw, C)
+            plane_idx, a8 = g.u_to_plane[u]
+            view = slabs[plane_idx, phi_y, pl.ds(dy, rows_q), a8 : a8 + tw, :]
+            if g.inv_y > 1:
+                # row element-repeat via broadcast+merge of two free dims
+                view = jnp.broadcast_to(
+                    view[:, None], (rows_q, g.inv_y, tw, view.shape[-1])
+                ).reshape(rows_q * g.inv_y, tw, view.shape[-1])
+            acc_ref[...] = acc_ref[...] + w * view.astype(jnp.float32)
         return 0
 
-    jax.lax.fori_loop(0, g.win, v_body, 0)
+    jax.lax.fori_loop(v_lo, v_hi + 1, v_body, 0)
     out_ref[0] = acc_ref[...].astype(out_ref.dtype)
 
 
@@ -280,9 +287,7 @@ def _choose_tiles(g: _PairGeom, c: int, plane_bytes: int, budget=None):
     def total(tq, tw):
         acc = tq * tw * c * 4
         blocks = tq * tw * (3 * 32 + 2 * c) * 4  # off/att in + out blocks (2x buf)
-        # U_CHUNK live (tq, tw, C) f32 temporaries from chunked accumulation
-        chunk_tmp = U_CHUNK * tq * tw * c * 4
-        return slab_bytes(tq, tw) + acc + blocks + chunk_tmp
+        return slab_bytes(tq, tw) + acc + blocks
 
     tq = min(32, g.hq)
     while g.hq % tq:
@@ -308,6 +313,39 @@ def _choose_tiles(g: _PairGeom, c: int, plane_bytes: int, budget=None):
             break
     assert tq % max(1, g.inv_y) == 0 and tw % max(1, g.inv_x) == 0, (tq, tw, g.inv_y, g.inv_x)
     return tq, tw
+
+
+def _tap_bounds(offx_g, offy_g, g: _PairGeom, tq, tw):
+    """Per-tile active tap ranges (B, nty, ntx, 4) int32: [u_lo, u_hi, v_lo, v_hi].
+
+    The bilinear hat of tap u is nonzero only for |u - px| < 1, so taps outside
+    [ceil(min px - 1), floor(max px + 1)] are identically zero for every query
+    (and point/head) in the tile. Mirrors the kernel's px/py formula exactly:
+    px = clip(off, -R, R) + pad + rem(q).
+    """
+    b, hq, wq, ph = offx_g.shape
+    r = float(g.radius)
+    pad = float(g.pad)
+    qx = jnp.arange(wq, dtype=jnp.float32)
+    rem_x = ((qx % g.inv_x) + 0.5) / g.inv_x - 0.5 if g.rem_x is None else jnp.full((wq,), g.rem_x)
+    qy = jnp.arange(hq, dtype=jnp.float32)
+    rem_y = ((qy % g.inv_y) + 0.5) / g.inv_y - 0.5 if g.rem_y is None else jnp.full((hq,), g.rem_y)
+
+    px = jnp.clip(offx_g, -r, r) + pad + rem_x[None, None, :, None]
+    py = jnp.clip(offy_g, -r, r) + pad + rem_y[None, :, None, None]
+    nty, ntx = hq // tq, wq // tw
+
+    def tile_minmax(x):
+        x = x.reshape(b, nty, tq, ntx, tw, ph)
+        return x.min(axis=(2, 4, 5)), x.max(axis=(2, 4, 5))
+
+    px_lo, px_hi = tile_minmax(px)
+    py_lo, py_hi = tile_minmax(py)
+    u_lo = jnp.clip(jnp.ceil(px_lo - 1), 0, g.win - 1).astype(jnp.int32)
+    u_hi = jnp.clip(jnp.floor(px_hi + 1), 0, g.win - 1).astype(jnp.int32)
+    v_lo = jnp.clip(jnp.ceil(py_lo - 1), 0, g.win - 1).astype(jnp.int32)
+    v_hi = jnp.clip(jnp.floor(py_hi + 1), 0, g.win - 1).astype(jnp.int32)
+    return jnp.stack([u_lo, u_hi, v_lo, v_hi], axis=-1)
 
 
 def _run_pair_v2(
@@ -337,6 +375,7 @@ def _run_pair_v2(
     offx_g = off_pair[..., 0].transpose(0, 1, 3, 2).reshape(b, hq, wq, ph)
     offy_g = off_pair[..., 1].transpose(0, 1, 3, 2).reshape(b, hq, wq, ph)
     att_g = att_pair.transpose(0, 1, 3, 2).reshape(b, hq, wq, ph)
+    bounds = _tap_bounds(offx_g, offy_g, g, tq, tw)
 
     kernel = functools.partial(
         _pair_kernel_v2,
@@ -354,6 +393,7 @@ def _run_pair_v2(
         out_shape=jax.ShapeDtypeStruct((b, hq, wq, c), jnp.float32),
         grid=(b, hq // tq, wq // tw),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, tq, tw, ph), lambda bb, ty, tx: (bb, ty, tx, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tq, tw, ph), lambda bb, ty, tx: (bb, ty, tx, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tq, tw, ph), lambda bb, ty, tx: (bb, ty, tx, 0), memory_space=pltpu.VMEM),
@@ -370,7 +410,7 @@ def _run_pair_v2(
             pltpu.SemaphoreType.DMA((len(g.planes),)),
         ],
         interpret=interpret,
-    )(offx_g, offy_g, att_g, planes)
+    )(bounds, offx_g, offy_g, att_g, planes)
     return out.reshape(b, hq * wq, c)
 
 

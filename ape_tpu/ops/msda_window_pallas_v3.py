@@ -88,7 +88,7 @@ def _accumulate_level(
         for u in range(g.win):
             whp = ahy * _hat(u - px)
             w = jax.lax.dot_general(
-                whp, expand2,
+                whp.astype(jnp.bfloat16), expand2,
                 dimension_numbers=(((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (tq, tw, C)
@@ -122,7 +122,7 @@ def _row_kernel_v3(*refs, gs, heads, num_points, tq, tw, slab_ws, single_x, sing
     c = out_ref.shape[-1]
     e2r = jax.lax.broadcasted_iota(jnp.int32, (h * npt, c), 0)
     e2c = jax.lax.broadcasted_iota(jnp.int32, (h * npt, c), 1)
-    expand2 = (e2c % h == e2r % h).astype(jnp.float32)
+    expand2 = (e2c % h == e2r % h).astype(jnp.bfloat16)
 
     @pl.when(lv == 0)
     def _():

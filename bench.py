@@ -58,9 +58,10 @@ def main():
         out = model.apply({"params": params}, images, image_sizes, text, text_valid)
         return out["pred_logits"], out["pred_boxes"], out.get("pred_masks")
 
-    # warm up / compile
+    # warm up / compile (incl. the eager perturbation add used in the loop)
     out = fwd(params, images, image_sizes, text, text_valid)
     jax.tree.map(lambda x: np.asarray(x[..., :1]), out)
+    np.asarray((images + 0.5)[..., :1, :1])
 
     # timed: vary input each call (the remote-compile tunnel caches identical
     # dispatches), fetch a slice at the end to force completion

@@ -90,8 +90,19 @@ def main():
             f = model.neck.apply({"params": params["neck"]}, f)
         return f
 
-    t_full = timed(full, images, params)
-    t_bb = timed(bb, images, params)
+    # full model: bench-style repeat with on-device perturbation (chaining the
+    # whole model n times exceeds the remote-compile budget)
+    jfull = jax.jit(full)
+    out = jfull(images, params)
+    np.asarray(out[0][..., :1])
+    np.asarray((images + 0.5)[..., :1, :1])  # pre-compile the eager perturb add
+    t0 = time.perf_counter()
+    for k in range(6):
+        out = jfull(images + float(k) * 1e-4, params)
+    np.asarray(out[0][..., :1])
+    t_full = (time.perf_counter() - t0) / 6
+
+    t_bb = timed(bb, images, params, chains=(1, 4))
 
     # ---- encoder stack at production shapes ----
     feats = jax.jit(bb)(images, params)
@@ -126,7 +137,7 @@ def main():
         )
         return out
 
-    t_enc = timed(enc_fwd, x, enc_params)
+    t_enc = timed(enc_fwd, x, enc_params, chains=(1, 3))
 
     # ---- DETA first-stage select ----
     from ape_tpu.modeling.ape_deta.transformer import deta_first_stage_select

@@ -105,17 +105,28 @@ def make_kernel(variant, g, tq, tw, slab_w, single_x, single_y):
                 phi_y = 0
                 dy = v
             for u in range(g.win):
+                if variant == "viewonly":
+                    # no weight math at all: isolates DMA + view add + RMW
+                    plane_idx, a8 = g.u_to_plane[u]
+                    view = slabs[plane_idx, phi_y, pl.ds(dy, tq), a8 : a8 + tw, :]
+                    acc_ref[...] = acc_ref[...] + view.astype(jnp.float32)
+                    continue
                 if variant == "const_w":
                     # skip hat+expand entirely: isolates DMA+FMA+RMW
                     w = jnp.full((tq, tw, c), 0.01, jnp.float32)
                 else:
                     whp = ahy * _hat(u - px)
-                    if variant == "k32":
+                    if variant in ("k32", "k32_nofma", "k32_bf16"):
+                        lhs = whp.astype(jnp.bfloat16) if variant == "k32_bf16" else whp
+                        rhs = expand2.astype(lhs.dtype)
                         w = jax.lax.dot_general(
-                            whp, expand2,
+                            lhs, rhs,
                             dimension_numbers=(((2,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
                         )
+                        if variant == "k32_nofma":
+                            acc_ref[...] = acc_ref[...] + w
+                            continue
                     elif variant == "tile":
                         w8 = whp[..., 0:H]
                         for pp in range(1, P):

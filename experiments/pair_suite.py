@@ -24,13 +24,14 @@ from ape_tpu.ops.msda_window_pallas_v2 import _run_pair_v2
 H, P, D = 8, 4, 32
 C = H * D
 RADIUS = 4
+OFF_SCALE = float(os.environ.get("OFF_SCALE", "2.0"))
 
 
 def time_pair(hq, wq, hv, wv, chains=(4, 20), reps=3):
     rng = np.random.RandomState(0)
     b = 1
     v_l = jnp.asarray(rng.randn(b, hv * wv, C), jnp.float32)
-    off = jnp.asarray(rng.randn(b, hq * wq, H, P, 2) * 2, jnp.float32)
+    off = jnp.asarray(rng.randn(b, hq * wq, H, P, 2) * OFF_SCALE, jnp.float32)
     att = jnp.asarray(rng.rand(b, hq * wq, H, P), jnp.float32)
     # pre-touch perturbed inputs so eager-add compiles stay out of the timings
     alts = [v_l + k * 1e-3 for k in range(1, reps + 1)]
