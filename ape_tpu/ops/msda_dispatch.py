@@ -8,10 +8,12 @@ tests/test_msda_pallas.py):
     (2R+3)^2 x pairs unrolling is too heavy to compile/run in production.
   * Pallas kernel (ops/msda_window_pallas.py) — the TPU production forward.
 
-Training on TPU uses custom_vjp: Pallas forward + gradients from the exact
-formulation (identical math: window == exact at clipped offsets; the backward
-Pallas kernels are a planned optimization — gather/scatter backward is the
-reference's own backward structure).
+Training on TPU uses custom_vjp: Pallas forward + Pallas backward kernels
+(ops/msda_window_pallas_bwd — same pre-shifted-plane structure as the forward;
+d_off/d_att from an MXU inner-product contraction, d_value via aligned d_plane
+slab RMW + the transpose of the plane prep). Off-TPU the backward falls back
+to jax.vjp of the exact formulation (identical math: window == exact at
+clipped offsets).
 """
 
 from __future__ import annotations
@@ -50,6 +52,13 @@ def _fwd(value, spatial_shapes, pixel_offsets, attention_weights, radius):
 
 def _bwd(spatial_shapes, radius, res, g):
     value, pixel_offsets, attention_weights = res
+    channels = value.shape[2] * value.shape[3]
+    if jax.default_backend() == "tpu" and channels % 128 == 0:
+        from ape_tpu.ops.msda_window_pallas_bwd import ms_deform_attn_window_pallas_bwd
+
+        return ms_deform_attn_window_pallas_bwd(
+            value, spatial_shapes, pixel_offsets, attention_weights, g, radius
+        )
     _, vjp = jax.vjp(
         lambda v, o, w: _exact_equiv(v, spatial_shapes, o, w, radius),
         value,

@@ -1,0 +1,560 @@
+"""Pallas window-MSDA backward kernels.
+
+The forward (msda_window_pallas_v2) streams pre-shifted value planes through
+VMEM and accumulates 11x11 window taps. Training previously back-propagated
+through the exact-gather equivalent (ops/msda_dispatch._bwd), whose XLA
+transpose lowers to scatter-adds — ~2 s/encoder layer on v5e. These kernels
+give the backward the same window/plane structure as the forward:
+
+  * Kernel A (query-aligned, this file): d_offsets and d_attention. Per tap,
+    the head-wise inner product s_h = <g, view>_D comes from one MXU
+    contraction with expand2^T (C -> P*H, the transpose of the forward's
+    expand), then the hat/att chain rules are cheap 32-lane VPU ops
+    accumulated in small VMEM scratch.
+  * Kernel B (also query-aligned): d_value. Per tap, w (x) g accumulates into
+    a per-tile pre-shifted d_plane slab (same aligned plane/a8 scheme as the
+    forward's reads, so every VMEM write is 8-aligned); the slab is
+    read-modified-written against an HBM d_planes buffer (grid is sequential,
+    overlapping halos are safe), which XLA then folds back with shifted
+    slices — the exact transpose of _prep_planes.
+
+Gradient semantics match jax.vjp of the exact path (ops/msda_dispatch.
+_exact_equiv): clip pass-through for |offset| <= radius, bilinear hat
+subgradients, zero padding. Parity: tests/test_msda_bwd.py.
+Reference backward: ms_deform_im2col_cuda.cuh:301-922 (6-variant CUDA).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ape_tpu.ops.msda import level_start_index
+from ape_tpu.ops.msda_window_pallas_v2 import (
+    VMEM_BUDGET,
+    _PairGeom,
+    _choose_tiles,
+    _hat,
+    _prep_planes,
+    _tap_bounds,
+)
+
+
+def _dpos(z):
+    """d/d(position) of hat(tap - position), exact-path convention.
+
+    The gather formulation decomposes position = floor + frac on [0, 1) and
+    differentiates the frac weights, so at integer-aligned positions the
+    subgradient is one-sided: z in (-1, 0] -> -1, z in (0, 1] -> +1, else 0
+    (z = tap - position). The symmetric sign(z) choice differs on the
+    measure-zero integer set — a real model never lands there, but the parity
+    tests do catch single-element drift without this."""
+    return jnp.where(
+        (z > -1.0) & (z <= 0.0),
+        -1.0,
+        jnp.where((z > 0.0) & (z <= 1.0), 1.0, 0.0),
+    )
+
+
+def _grad_kernel_offatt(
+    bounds_ref,  # (B, nty, ntx, 4) int32 SMEM
+    offx_ref,  # (1, tq, tw, PH)
+    offy_ref,
+    att_ref,
+    g_ref,  # (1, tq, tw, C) cotangent
+    planes_hbm,  # forward value planes (P, B, sy, R, Wp, C)
+    dox_ref,  # out (1, tq, tw, PH)
+    doy_ref,
+    datt_ref,
+    slabs,
+    dox_acc,  # VMEM (tq, tw, PH) f32
+    doy_acc,
+    datt_acc,
+    sems,
+    *,
+    g: _PairGeom,
+    heads,
+    num_points,
+    tq,
+    tw,
+    slab_w,
+    single_x,
+    single_y,
+):
+    b = pl.program_id(0)
+    ty = pl.program_id(1)
+    tx = pl.program_id(2)
+    n_planes = len(g.planes)
+    rows_q = tq if g.sy > 1 else tq // g.inv_y
+    tile_rows = rows_q + g.halo_y
+
+    row_start = 0 if single_y else ty * rows_q
+    col_start = 0 if single_x else pl.multiple_of(tx * tw, 8)
+    copies = [
+        pltpu.make_async_copy(
+            planes_hbm.at[
+                p, b, :, pl.ds(row_start, tile_rows), pl.ds(col_start, slab_w), :
+            ],
+            slabs.at[p],
+            sems.at[p],
+        )
+        for p in range(n_planes)
+    ]
+    for cp in copies:
+        cp.start()
+
+    h, npt = heads, num_points
+    radius = g.radius
+    ox_raw = offx_ref[0]
+    oy_raw = offy_ref[0]
+    ox = jnp.clip(ox_raw, -radius, radius)
+    oy = jnp.clip(oy_raw, -radius, radius)
+    att = att_ref[0]
+    gt = g_ref[0].astype(jnp.float32)  # (tq, tw, C)
+
+    pad = g.pad
+    if g.rem_x is None:
+        qx = jax.lax.broadcasted_iota(jnp.int32, (tq, tw, 1), 1).astype(jnp.float32)
+        rem_x = ((qx % g.inv_x) + 0.5) / g.inv_x - 0.5
+    else:
+        rem_x = g.rem_x
+    if g.rem_y is None:
+        qy = jax.lax.broadcasted_iota(jnp.int32, (tq, tw, 1), 0).astype(jnp.float32)
+        rem_y = ((qy % g.inv_y) + 0.5) / g.inv_y - 0.5
+    else:
+        rem_y = g.rem_y
+    px = ox + (pad + rem_x)
+    py = oy + (pad + rem_y)
+    # clip pass-through (jnp.clip VJP: gradient 1 where the input equals its
+    # clipped value, i.e. |off| <= radius)
+    mx = (jnp.abs(ox_raw) <= radius).astype(jnp.float32)
+    my = (jnp.abs(oy_raw) <= radius).astype(jnp.float32)
+
+    c = g_ref.shape[-1]
+    # expand2^T: (C, PH), column p*H+hh collects channels with c%H == hh
+    etr = jax.lax.broadcasted_iota(jnp.int32, (c, h * npt), 0)
+    etc = jax.lax.broadcasted_iota(jnp.int32, (c, h * npt), 1)
+    expand2T = (etr % h == etc % h).astype(jnp.bfloat16)
+
+    for cp in copies:
+        cp.wait()
+
+    dox_acc[...] = jnp.zeros_like(dox_acc)
+    doy_acc[...] = jnp.zeros_like(doy_acc)
+    datt_acc[...] = jnp.zeros_like(datt_acc)
+
+    v_lo = bounds_ref[b, ty, tx, 2]
+    v_hi = bounds_ref[b, ty, tx, 3]
+
+    def v_body(v, _):
+        vf = v.astype(jnp.float32)
+        hy = _hat(vf - py)
+        dhy = _dpos(vf - py)  # d/d oy of hat(v - py)
+        if g.sy > 1:
+            phi_y = (g.int_y + v) % g.sy
+            dy = (g.int_y + v) // g.sy
+        else:
+            phi_y = 0
+            dy = v
+        for u in range(g.win):
+            plane_idx, a8 = g.u_to_plane[u]
+            view = slabs[plane_idx, phi_y, pl.ds(dy, rows_q), a8 : a8 + tw, :]
+            if g.inv_y > 1:
+                view = jnp.broadcast_to(
+                    view[:, None], (rows_q, g.inv_y, tw, view.shape[-1])
+                ).reshape(rows_q * g.inv_y, tw, view.shape[-1])
+            gv = gt * view.astype(jnp.float32)  # (tq, tw, C)
+            s = jax.lax.dot_general(
+                gv.astype(jnp.bfloat16), expand2T,
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (tq, tw, PH): s_h replicated across points
+            hx = _hat(u - px)
+            dhx = _dpos(u - px)
+            sa = s * att
+            datt_acc[...] = datt_acc[...] + s * (hy * hx)
+            dox_acc[...] = dox_acc[...] + sa * (hy * dhx)
+            doy_acc[...] = doy_acc[...] + sa * (dhy * hx)
+        return 0
+
+    jax.lax.fori_loop(v_lo, v_hi + 1, v_body, 0)
+    dox_ref[0] = dox_acc[...] * mx
+    doy_ref[0] = doy_acc[...] * my
+    datt_ref[0] = datt_acc[...]
+
+
+def _run_pair_grad_offatt(
+    v_l, off_pair, att_pair, g_out, hq, wq, hv, wv, radius, heads, head_dim,
+    num_points, plane_dtype=jnp.bfloat16, interpret=False,
+):
+    """d_off (B, Q, H, P, 2) and d_att (B, Q, H, P) for one (lq, lv) pair."""
+    b = v_l.shape[0]
+    c = heads * head_dim
+    g = _PairGeom(hq, wq, hv, wv, radius)
+
+    planes = _prep_planes(v_l.reshape(b, hv, wv, c), g, plane_dtype)
+    tq, tw = _choose_tiles(g, c, np.dtype(plane_dtype).itemsize)
+    rows_q = tq if g.sy > 1 else tq // g.inv_y
+    tile_rows = rows_q + g.halo_y
+    slab_w = -(-(tw + g.max_a8) // 8) * 8
+
+    need_rows = (hq // tq - 1) * rows_q + tile_rows
+    need_cols = (wq // tw - 1) * tw + slab_w
+    pr = max(0, need_rows - planes.shape[3])
+    pc = max(0, need_cols - planes.shape[4])
+    if pr or pc:
+        planes = jnp.pad(planes, ((0, 0),) * 3 + ((0, pr), (0, pc), (0, 0)))
+
+    ph = heads * num_points
+    offx_g = off_pair[..., 0].transpose(0, 1, 3, 2).reshape(b, hq, wq, ph)
+    offy_g = off_pair[..., 1].transpose(0, 1, 3, 2).reshape(b, hq, wq, ph)
+    att_g = att_pair.transpose(0, 1, 3, 2).reshape(b, hq, wq, ph)
+    g_g = g_out.reshape(b, hq, wq, c)
+    bounds = _tap_bounds(offx_g, offy_g, g, tq, tw)
+
+    kernel = functools.partial(
+        _grad_kernel_offatt,
+        g=g,
+        heads=heads,
+        num_points=num_points,
+        tq=tq,
+        tw=tw,
+        slab_w=slab_w,
+        single_x=(wq // tw) == 1,
+        single_y=(hq // tq) == 1,
+    )
+    qspec = lambda shp: pl.BlockSpec(
+        shp, lambda bb, ty, tx: (bb, ty, tx, 0), memory_space=pltpu.VMEM
+    )
+    dox, doy, datt = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((b, hq, wq, ph), jnp.float32)] * 3,
+        grid=(b, hq // tq, wq // tw),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            qspec((1, tq, tw, ph)),
+            qspec((1, tq, tw, ph)),
+            qspec((1, tq, tw, ph)),
+            qspec((1, tq, tw, c)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[qspec((1, tq, tw, ph))] * 3,
+        scratch_shapes=[
+            pltpu.VMEM((len(g.planes), g.sy, tile_rows, slab_w, c), plane_dtype),
+            pltpu.VMEM((tq, tw, ph), jnp.float32),
+            pltpu.VMEM((tq, tw, ph), jnp.float32),
+            pltpu.VMEM((tq, tw, ph), jnp.float32),
+            pltpu.SemaphoreType.DMA((len(g.planes),)),
+        ],
+        interpret=interpret,
+    )(bounds, offx_g, offy_g, att_g, g_g, planes)
+
+    # (B, hq, wq, PH) p-major lanes -> (B, Q, H, P)
+    def back(x):
+        return (
+            x.reshape(b, hq * wq, num_points, heads).transpose(0, 1, 3, 2)
+        )
+
+    d_off = jnp.stack([back(dox), back(doy)], axis=-1)  # (B, Q, H, P, 2)
+    return d_off, back(datt)
+
+
+def _grad_kernel_value(
+    bounds_ref,  # (B, nty, ntx, 4) int32 SMEM
+    offx_ref,  # (1, tq, tw, PH)
+    offy_ref,
+    att_ref,
+    g_ref,  # (1, tq, tw, C)
+    dplanes_in,  # ANY: (P, B, sy, R, Wp, C) f32, aliased to the output
+    dplanes_out,  # ANY alias of dplanes_in
+    dslab,  # VMEM (P, sy, tile_rows, slab_w, C) f32
+    sems,  # DMA sems (P,)
+    *,
+    g: _PairGeom,
+    heads,
+    num_points,
+    tq,
+    tw,
+    slab_w,
+    single_x,
+    single_y,
+):
+    b = pl.program_id(0)
+    ty = pl.program_id(1)
+    tx = pl.program_id(2)
+    n_planes = len(g.planes)
+    rows_q = tq if g.sy > 1 else tq // g.inv_y
+    tile_rows = rows_q + g.halo_y
+
+    row_start = 0 if single_y else ty * rows_q
+    col_start = 0 if single_x else pl.multiple_of(tx * tw, 8)
+
+    def region(ref, p):
+        return ref.at[
+            p, b, :, pl.ds(row_start, tile_rows), pl.ds(col_start, slab_w), :
+        ]
+
+    # read-modify-write against the running HBM buffer: the TPU grid executes
+    # sequentially, so overlapping halo regions of adjacent tiles are safe
+    copies_in = [
+        pltpu.make_async_copy(region(dplanes_in, p), dslab.at[p], sems.at[p])
+        for p in range(n_planes)
+    ]
+    for cp in copies_in:
+        cp.start()
+
+    h, npt = heads, num_points
+    radius = g.radius
+    ox = jnp.clip(offx_ref[0], -radius, radius)
+    oy = jnp.clip(offy_ref[0], -radius, radius)
+    att = att_ref[0]
+    gt = g_ref[0].astype(jnp.float32)
+
+    pad = g.pad
+    if g.rem_x is None:
+        qx = jax.lax.broadcasted_iota(jnp.int32, (tq, tw, 1), 1).astype(jnp.float32)
+        rem_x = ((qx % g.inv_x) + 0.5) / g.inv_x - 0.5
+    else:
+        rem_x = g.rem_x
+    if g.rem_y is None:
+        qy = jax.lax.broadcasted_iota(jnp.int32, (tq, tw, 1), 0).astype(jnp.float32)
+        rem_y = ((qy % g.inv_y) + 0.5) / g.inv_y - 0.5
+    else:
+        rem_y = g.rem_y
+    px = ox + (pad + rem_x)
+    py = oy + (pad + rem_y)
+
+    c = g_ref.shape[-1]
+    e2r = jax.lax.broadcasted_iota(jnp.int32, (h * npt, c), 0)
+    e2c = jax.lax.broadcasted_iota(jnp.int32, (h * npt, c), 1)
+    expand2 = (e2c % h == e2r % h).astype(jnp.bfloat16)
+
+    for cp in copies_in:
+        cp.wait()
+
+    v_lo = bounds_ref[b, ty, tx, 2]
+    v_hi = bounds_ref[b, ty, tx, 3]
+
+    def v_body(v, _):
+        hy = _hat(v.astype(jnp.float32) - py)
+        ahy = att * hy
+        if g.sy > 1:
+            phi_y = (g.int_y + v) % g.sy
+            dy = (g.int_y + v) // g.sy
+        else:
+            phi_y = 0
+            dy = v
+        for u in range(g.win):
+            whp = ahy * _hat(u - px)
+            w = jax.lax.dot_general(
+                whp.astype(jnp.bfloat16), expand2,
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (tq, tw, C)
+            contrib = w * gt
+            if g.inv_y > 1:
+                # transpose of the forward's row repeat: sum query-row groups
+                contrib = contrib.reshape(rows_q, g.inv_y, tw, c).sum(axis=1)
+            plane_idx, a8 = g.u_to_plane[u]
+            dslab[plane_idx, phi_y, pl.ds(dy, rows_q), a8 : a8 + tw, :] = (
+                dslab[plane_idx, phi_y, pl.ds(dy, rows_q), a8 : a8 + tw, :] + contrib
+            )
+        return 0
+
+    jax.lax.fori_loop(v_lo, v_hi + 1, v_body, 0)
+
+    copies_out = [
+        pltpu.make_async_copy(dslab.at[p], region(dplanes_out, p), sems.at[p])
+        for p in range(n_planes)
+    ]
+    for cp in copies_out:
+        cp.start()
+    for cp in copies_out:
+        cp.wait()
+
+
+def _run_pair_grad_value(
+    off_pair, att_pair, g_out, hq, wq, hv, wv, radius, heads, head_dim,
+    num_points, interpret=False,
+):
+    """d_value contribution (B, Hv*Wv, C) of one (lq, lv) pair."""
+    b = off_pair.shape[0]
+    c = heads * head_dim
+    g = _PairGeom(hq, wq, hv, wv, radius)
+
+    # f32 d_slabs double the forward's bf16 footprint: choose tiles with
+    # plane_bytes=4 so the budget holds
+    tq, tw = _choose_tiles(g, c, 4)
+    rows_q = tq if g.sy > 1 else tq // g.inv_y
+    tile_rows = rows_q + g.halo_y
+    slab_w = -(-(tw + g.max_a8) // 8) * 8
+
+    # d_planes buffer with the same geometry the forward planes would have,
+    # padded to cover every tile's slab region
+    v_zero = jnp.zeros((b, hv, wv, c), jnp.float32)
+    _, fold = jax.vjp(lambda v: _prep_planes(v, g, jnp.float32), v_zero)
+    planes_shape = jax.eval_shape(lambda v: _prep_planes(v, g, jnp.float32), v_zero)
+    need_rows = (hq // tq - 1) * rows_q + tile_rows
+    need_cols = (wq // tw - 1) * tw + slab_w
+    pr = max(0, need_rows - planes_shape.shape[3])
+    pc = max(0, need_cols - planes_shape.shape[4])
+    dplanes0 = jnp.zeros(
+        (
+            planes_shape.shape[0],
+            b,
+            planes_shape.shape[2],
+            planes_shape.shape[3] + pr,
+            planes_shape.shape[4] + pc,
+            c,
+        ),
+        jnp.float32,
+    )
+
+    ph = heads * num_points
+    offx_g = off_pair[..., 0].transpose(0, 1, 3, 2).reshape(b, hq, wq, ph)
+    offy_g = off_pair[..., 1].transpose(0, 1, 3, 2).reshape(b, hq, wq, ph)
+    att_g = att_pair.transpose(0, 1, 3, 2).reshape(b, hq, wq, ph)
+    g_g = g_out.reshape(b, hq, wq, c)
+    bounds = _tap_bounds(offx_g, offy_g, g, tq, tw)
+
+    kernel = functools.partial(
+        _grad_kernel_value,
+        g=g,
+        heads=heads,
+        num_points=num_points,
+        tq=tq,
+        tw=tw,
+        slab_w=slab_w,
+        single_x=(wq // tw) == 1,
+        single_y=(hq // tq) == 1,
+    )
+    qspec = lambda shp: pl.BlockSpec(
+        shp, lambda bb, ty, tx: (bb, ty, tx, 0), memory_space=pltpu.VMEM
+    )
+    dplanes = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(dplanes0.shape, jnp.float32),
+        grid=(b, hq // tq, wq // tw),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            qspec((1, tq, tw, ph)),
+            qspec((1, tq, tw, ph)),
+            qspec((1, tq, tw, ph)),
+            qspec((1, tq, tw, c)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((len(g.planes), g.sy, tile_rows, slab_w, c), jnp.float32),
+            pltpu.SemaphoreType.DMA((len(g.planes),)),
+        ],
+        input_output_aliases={5: 0},
+        interpret=interpret,
+    )(bounds, offx_g, offy_g, att_g, g_g, dplanes0)
+
+    # undo the coverage padding, then fold shifted planes back to the value
+    # grid via the transpose of _prep_planes (pure slice/pad/repeat adjoints)
+    dplanes = dplanes[:, :, :, : planes_shape.shape[3], : planes_shape.shape[4], :]
+    (d_value,) = fold(dplanes)
+    return d_value.reshape(b, hv * wv, c)
+
+
+def ms_deform_attn_window_pallas_bwd(
+    value: jnp.ndarray,  # (B, S, H, D)
+    spatial_shapes: Sequence[Tuple[int, int]],
+    pixel_offsets: jnp.ndarray,  # (B, S, H, L, P, 2)
+    attention_weights: jnp.ndarray,  # (B, S, H, L, P)
+    g_out: jnp.ndarray,  # (B, S, H*D) cotangent of the forward output
+    radius: int = 4,
+    interpret: bool = False,
+):
+    """Full window-MSDA backward: (d_value, d_pixel_offsets, d_attention)."""
+    spatial_shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
+    b, s, h, d = value.shape
+    _, q, _, l, p, _ = pixel_offsets.shape
+    assert q == s and l == len(spatial_shapes)
+    starts, total = level_start_index(spatial_shapes)
+    assert total == s
+
+    off32 = pixel_offsets.astype(jnp.float32)
+    att32 = attention_weights.astype(jnp.float32)
+    # d-major channel layout matches the forward kernel
+    value_f = value.astype(jnp.float32).transpose(0, 1, 3, 2).reshape(b, s, h * d)
+    g_f = (
+        g_out.astype(jnp.float32)
+        .reshape(b, s, h, d)
+        .transpose(0, 1, 3, 2)
+        .reshape(b, s, h * d)
+    )
+
+    d_off = jnp.zeros_like(off32)
+    d_att = jnp.zeros_like(att32)
+    d_value_levels = [
+        jnp.zeros((b, hv * wv, h * d), jnp.float32) for hv, wv in spatial_shapes
+    ]
+
+    for lv, (hv, wv) in enumerate(spatial_shapes):
+        v_l = jax.lax.dynamic_slice_in_dim(value_f, starts[lv], hv * wv, axis=1)
+        for lq, (hq, wq) in enumerate(spatial_shapes):
+            off_pair = jax.lax.dynamic_slice_in_dim(off32, starts[lq], hq * wq, axis=1)[
+                :, :, :, lv
+            ]
+            att_pair = jax.lax.dynamic_slice_in_dim(att32, starts[lq], hq * wq, axis=1)[
+                :, :, :, lv
+            ]
+            g_pair = jax.lax.dynamic_slice_in_dim(g_f, starts[lq], hq * wq, axis=1)
+            inv_y = max(hq // max(hv, 1), 1)
+            inv_x = max(wq // max(wv, 1), 1)
+            if inv_y * inv_x > 16 * 16:
+                # pathological expansion: exact-path VJP for this slot only
+                from ape_tpu.ops.msda import ms_deform_attn
+                from ape_tpu.ops.msda_window import pixel_offsets_to_locations
+
+                def one_pair(v_flat, o_pair, a_pair):
+                    o6 = o_pair[:, :, :, None]
+                    # queries of level lq sampling level lv only
+                    cx = (jnp.arange(hq * wq) % wq + 0.5) / wq
+                    cy = (jnp.arange(hq * wq) // wq + 0.5) / hq
+                    ctr = jnp.stack([cx, cy], -1)[None, :, None, None, None, :]
+                    norm = jnp.asarray([[wv, hv]], jnp.float32)
+                    loc = ctr + jnp.clip(o6, -radius, radius) / norm[None, None, None, :, None, :]
+                    vv4 = v_flat.reshape(b, hv * wv, d, h).transpose(0, 1, 3, 2)
+                    out = ms_deform_attn(vv4, ((hv, wv),), loc, a_pair[:, :, :, None])
+                    return out.reshape(b, hq * wq, h, d).transpose(0, 1, 3, 2).reshape(
+                        b, hq * wq, h * d
+                    )
+
+                _, vjp = jax.vjp(one_pair, v_l, off_pair, att_pair)
+                dv, do, da = vjp(g_pair)
+                d_value_levels[lv] = d_value_levels[lv] + dv
+                d_off = d_off.at[:, starts[lq] : starts[lq] + hq * wq, :, lv].add(do)
+                d_att = d_att.at[:, starts[lq] : starts[lq] + hq * wq, :, lv].add(da)
+                continue
+
+            do_pair, da_pair = _run_pair_grad_offatt(
+                v_l, off_pair, att_pair, g_pair, hq, wq, hv, wv, radius, h, d, p,
+                interpret=interpret,
+            )
+            dv_pair = _run_pair_grad_value(
+                off_pair, att_pair, g_pair, hq, wq, hv, wv, radius, h, d, p,
+                interpret=interpret,
+            )
+            d_value_levels[lv] = d_value_levels[lv] + dv_pair
+            d_off = d_off.at[:, starts[lq] : starts[lq] + hq * wq, :, lv].add(do_pair)
+            d_att = d_att.at[:, starts[lq] : starts[lq] + hq * wq, :, lv].add(da_pair)
+
+    d_value = jnp.concatenate(d_value_levels, axis=1)
+    d_value = (
+        d_value.reshape(b, s, d, h).transpose(0, 1, 3, 2).astype(value.dtype)
+    )
+    return (
+        d_value,
+        d_off.astype(pixel_offsets.dtype),
+        d_att.astype(attention_weights.dtype),
+    )

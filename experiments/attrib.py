@@ -66,6 +66,9 @@ def synth_params(model, init_fn):
     )
 
 
+PARTS = set(os.environ.get("ATTRIB_PARTS", "full,bb,enc,sel").split(","))
+
+
 def main():
     from ape_tpu.modeling.build import build_ape_ti
 
@@ -90,19 +93,24 @@ def main():
             f = model.neck.apply({"params": params["neck"]}, f)
         return f
 
+    t_full = t_bb = t_enc = t_sel = float("nan")
     # full model: bench-style repeat with on-device perturbation (chaining the
     # whole model n times exceeds the remote-compile budget)
     jfull = jax.jit(full)
-    out = jfull(images, params)
-    np.asarray(out[0][..., :1])
-    np.asarray((images + 0.5)[..., :1, :1])  # pre-compile the eager perturb add
-    t0 = time.perf_counter()
-    for k in range(6):
-        out = jfull(images + float(k) * 1e-4, params)
-    np.asarray(out[0][..., :1])
-    t_full = (time.perf_counter() - t0) / 6
+    if "full" not in PARTS:
+        jfull = None
+    out = jfull(images, params) if jfull else None
+    if jfull:
+        np.asarray(out[0][..., :1])
+        np.asarray((images + 0.5)[..., :1, :1])  # pre-compile the eager perturb add
+        t0 = time.perf_counter()
+        for k in range(6):
+            out = jfull(images + float(k) * 1e-4, params)
+        np.asarray(out[0][..., :1])
+        t_full = (time.perf_counter() - t0) / 6
 
-    t_bb = timed(bb, images, params, chains=(1, 4))
+    if "bb" in PARTS:
+        t_bb = timed(bb, images, params, chains=(1, 4))
 
     # ---- encoder stack at production shapes ----
     feats = jax.jit(bb)(images, params)
@@ -137,7 +145,8 @@ def main():
         )
         return out
 
-    t_enc = timed(enc_fwd, x, enc_params, chains=(1, 3))
+    if "enc" in PARTS:
+        t_enc = timed(enc_fwd, x, enc_params, chains=(1, 3))
 
     # ---- DETA first-stage select ----
     from ape_tpu.modeling.ape_deta.transformer import deta_first_stage_select
@@ -151,7 +160,8 @@ def main():
             logits, boxes, valid, level_shapes, topk=900
         )
 
-    t_sel = timed(select, logits, boxes)
+    if "sel" in PARTS:
+        t_sel = timed(select, logits, boxes)
 
     print(f"full forward      : {t_full*1e3:8.1f} ms   ({1.0/t_full:.2f} img/s)")
     print(f"backbone+neck     : {t_bb*1e3:8.1f} ms")

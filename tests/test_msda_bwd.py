@@ -1,0 +1,68 @@
+"""Pallas window-MSDA backward kernels vs the exact-path VJP (interpret mode).
+
+The production training path (ops/msda_dispatch) used jax.vjp of the exact
+gather equivalent; the Pallas backward (ops/msda_window_pallas_bwd) must
+reproduce those gradients: clip pass-through, hat subgradients, zero padding.
+bf16 appears in the kernels' MXU contractions and value planes, so tolerances
+are relative ~1e-2.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ape_tpu.ops.msda_dispatch import _exact_equiv
+from ape_tpu.ops.msda_window_pallas_bwd import ms_deform_attn_window_pallas_bwd
+
+pytestmark = pytest.mark.slow
+
+SHAPES = ((16, 16), (8, 8), (4, 4))
+B, H, D, P = 1, 8, 32, 4
+RADIUS = 2
+
+
+def _inputs(seed, off_scale):
+    rng = np.random.RandomState(seed)
+    S = sum(h * w for h, w in SHAPES)
+    value = jnp.asarray(rng.randn(B, S, H, D), jnp.float32)
+    # avoid integer-aligned sample positions: hat/floor subgradient ties there
+    off = jnp.asarray(rng.randn(B, S, H, len(SHAPES), P, 2) * off_scale + 0.123, jnp.float32)
+    att = jnp.asarray(rng.rand(B, S, H, len(SHAPES), P), jnp.float32)
+    g = jnp.asarray(rng.randn(B, S, H * D), jnp.float32)
+    return value, off, att, g
+
+
+@pytest.mark.parametrize("off_scale", [0.4, 1.7])
+def test_bwd_matches_exact_vjp(off_scale):
+    value, off, att, g = _inputs(0, off_scale)
+
+    _, vjp = jax.vjp(
+        lambda v, o, a: _exact_equiv(v, SHAPES, o, a, RADIUS), value, off, att
+    )
+    dv_ref, do_ref, da_ref = vjp(g)
+
+    dv, do, da = ms_deform_attn_window_pallas_bwd(
+        value, SHAPES, off, att, g, radius=RADIUS, interpret=True
+    )
+
+    for name, a, r in (("d_value", dv, dv_ref), ("d_off", do, do_ref), ("d_att", da, da_ref)):
+        scale = max(1.0, float(jnp.abs(r).max()))
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(r), atol=2e-2 * scale,
+            err_msg=f"{name} mismatch (off_scale={off_scale})",
+        )
+
+
+def test_bwd_clip_masks_gradients():
+    """Offsets beyond the radius get zero offset-gradient (clip pass-through)."""
+    value, off, att, g = _inputs(1, 0.5)
+    off = off.at[0, 5, 2, 0, 1, 0].set(RADIUS + 3.0)  # x clipped
+    off = off.at[0, 7, 1, 1, 0, 1].set(-(RADIUS + 2.0))  # y clipped
+
+    dv, do, da = ms_deform_attn_window_pallas_bwd(
+        value, SHAPES, off, att, g, radius=RADIUS, interpret=True
+    )
+    assert float(do[0, 5, 2, 0, 1, 0]) == 0.0
+    assert float(do[0, 7, 1, 1, 0, 1]) == 0.0
