@@ -78,6 +78,78 @@ def _sample_level(
     return out
 
 
+def _sample_level_mergex(
+    value_l: jnp.ndarray,  # (B, HW, H, D)
+    loc_l: jnp.ndarray,  # (B, Q, H, P, 2) in [0, 1], (x, y)
+    w_l: jnp.ndarray,  # (B, Q, H, P)
+    height: int,
+    width: int,
+) -> jnp.ndarray:
+    """Bilinear samples via 2 sliced gathers (adjacent-x taps fetched together).
+
+    Numerically identical to ``_sample_level`` but issues HALF the gather
+    indices with doubled payload contiguity (slice_sizes=(2, D) on a per-head
+    (HW, D) operand): measured 3.64 -> 2.28 ms per decoder layer on v5e
+    (experiments/decoder_gather_probe.py). XLA TPU gather is per-index-bound,
+    so index count is the knob that matters.
+    """
+    b, q, h, p = w_l.shape
+    d = value_l.shape[-1]
+    x = loc_l[..., 0] * width - 0.5  # (B, Q, H, P)
+    y = loc_l[..., 1] * height - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    ix0 = x0.astype(jnp.int32)
+    iy0 = y0.astype(jnp.int32)
+
+    vop = value_l.transpose(0, 2, 1, 3)  # (B, H, HW, D)
+
+    out = None
+    for dy in (0, 1):
+        iy = iy0 + dy
+        ry = (iy >= 0) & (iy < height)
+        vx0 = (ix0 >= 0) & (ix0 < width) & ry
+        vx1 = (ix0 + 1 >= 0) & (ix0 + 1 < width) & ry
+        wy = fy if dy else 1.0 - fy
+        w0 = jnp.where(vx0, (1.0 - fx) * wy * w_l, 0.0)  # (B, Q, H, P)
+        w1 = jnp.where(vx1, fx * wy * w_l, 0.0)
+        # base index: clamp so [base, base+1] stays inside the row. When the
+        # clamp shifts the base (ix0 = -1 or width-1) the taps land on other
+        # slice positions -- route the weights by the shift (the displaced
+        # tap is out of range there, so its weight is already zero).
+        base = jnp.clip(ix0, 0, width - 2)
+        sh = ix0 - base  # -1, 0, or >= 1
+        ws0 = jnp.where(sh == 0, w0, jnp.where(sh == -1, w1, 0.0))
+        ws1 = jnp.where(sh == 0, w1, jnp.where(sh == 1, w0, 0.0))
+        lin = jnp.clip(iy, 0, height - 1) * width + base
+        idx = lin.transpose(0, 2, 1, 3).reshape(b, h, q * p)  # (B, H, QP)
+
+        def g1(op, ind):  # op (HW, D), ind (QP,)
+            return jax.lax.gather(
+                op,
+                ind[:, None],
+                jax.lax.GatherDimensionNumbers(
+                    offset_dims=(1, 2),
+                    collapsed_slice_dims=(),
+                    start_index_map=(0,),
+                ),
+                slice_sizes=(2, d),
+                mode="clip",
+            )  # (QP, 2, D)
+
+        g = jax.vmap(jax.vmap(g1))(vop, idx)  # (B, H, QP, 2, D)
+        g = g.reshape(b, h, q, p, 2, d)
+        ws0 = ws0.transpose(0, 2, 1, 3).astype(g.dtype)  # (B, H, Q, P)
+        ws1 = ws1.transpose(0, 2, 1, 3).astype(g.dtype)
+        contrib = jnp.einsum("bhqpd,bhqp->bhqd", g[:, :, :, :, 0], ws0) + jnp.einsum(
+            "bhqpd,bhqp->bhqd", g[:, :, :, :, 1], ws1
+        )
+        out = contrib if out is None else out + contrib
+    return out.transpose(0, 2, 1, 3)  # (B, Q, H, D)
+
+
 def ms_deform_attn(
     value: jnp.ndarray,
     spatial_shapes: Sequence[Tuple[int, int]],
@@ -101,7 +173,8 @@ def ms_deform_attn(
         out = jnp.zeros((b, loc.shape[1], h, d), dtype=value.dtype)
         for lvl, (hh, ww) in enumerate(spatial_shapes):
             value_l = jax.lax.dynamic_slice_in_dim(value, starts[lvl], hh * ww, axis=1)
-            out = out + _sample_level(
+            sample = _sample_level_mergex if ww >= 2 else _sample_level
+            out = out + sample(
                 value_l, loc[:, :, :, lvl], w[:, :, :, lvl], hh, ww
             )
         return out

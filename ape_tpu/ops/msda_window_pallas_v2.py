@@ -157,11 +157,7 @@ def _pair_kernel_v2(
     offy_ref,
     att_ref,
     planes_hbm,  # (P, B, sy, R, Wp, C) in ANY
-    out_ref,  # (1, tq, tw, C)
-    slabs,  # VMEM scratch (P, sy, tile_rows, tw + max_a8 + pad8, C)
-    acc_ref,  # VMEM scratch (tq, tw, C) f32
-    sems,  # DMA sems (P,)
-    *,
+    *rest_refs,  # [acc_in_ref] if chained, then out_ref, slabs, acc_ref, sems
     g: _PairGeom,
     heads,
     num_points,
@@ -170,7 +166,17 @@ def _pair_kernel_v2(
     slab_w,
     single_x,
     single_y,
+    chained=False,
 ):
+    # Cross-pair accumulation: when `chained`, the previous pairs' partial sum
+    # for this query level streams in as an input block ALIASED to the output
+    # buffer, and the kernel adds onto it — the XLA-side partial adds (read
+    # prev + read part + write, ~3x the output bytes per pair) disappear.
+    if chained:
+        acc_in_ref, out_ref, slabs, acc_ref, sems = rest_refs
+    else:
+        acc_in_ref = None
+        out_ref, slabs, acc_ref, sems = rest_refs
     b = pl.program_id(0)
     ty = pl.program_id(1)
     tx = pl.program_id(2)
@@ -230,7 +236,10 @@ def _pair_kernel_v2(
     for cp in copies:
         cp.wait()
 
-    acc_ref[...] = jnp.zeros_like(acc_ref)
+    if acc_in_ref is not None:
+        acc_ref[...] = acc_in_ref[0]
+    else:
+        acc_ref[...] = jnp.zeros_like(acc_ref)
 
     # Dynamic tap-ROW skip: learned offsets are local, so per query tile the
     # bilinear hats are provably zero outside [v_lo, v_hi] (bounds from the
@@ -244,9 +253,15 @@ def _pair_kernel_v2(
     v_lo = bounds_ref[b, ty, tx, 2]
     v_hi = bounds_ref[b, ty, tx, 3]
 
+    # x-hats are v-invariant: compute the 11 (tq, tw, PH) blocks ONCE in bf16.
+    # Inside the (v, u) loop the weight math is then a single bf16 multiply —
+    # previously hat+mul+cast ran per tap on 32-of-128-lane f32 vregs and was
+    # the measured kernel floor (weight path ~= total, PERF.md).
+    hx_bf = [_hat(u - px).astype(jnp.bfloat16) for u in range(g.win)]
+
     def v_body(v, _):
         hy = _hat(v.astype(jnp.float32) - py)
-        ahy = att * hy
+        ahy = (att * hy).astype(jnp.bfloat16)
         if g.sy > 1:
             phi_y = (g.int_y + v) % g.sy
             dy = (g.int_y + v) // g.sy
@@ -254,9 +269,9 @@ def _pair_kernel_v2(
             phi_y = 0
             dy = v
         for u in range(g.win):
-            whp = ahy * _hat(u - px)
+            whp = ahy * hx_bf[u]
             w = jax.lax.dot_general(
-                whp.astype(jnp.bfloat16), expand2,
+                whp, expand2,
                 dimension_numbers=(((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (tq, tw, C)
@@ -287,7 +302,8 @@ def _choose_tiles(g: _PairGeom, c: int, plane_bytes: int, budget=None):
     def total(tq, tw):
         acc = tq * tw * c * 4
         blocks = tq * tw * (3 * 32 + 2 * c) * 4  # off/att in + out blocks (2x buf)
-        return slab_bytes(tq, tw) + acc + blocks
+        hx = g.win * tq * tw * 32 * 2  # hoisted bf16 x-hat temporaries
+        return slab_bytes(tq, tw) + acc + blocks + hx
 
     tq = min(32, g.hq)
     while g.hq % tq:
@@ -350,9 +366,14 @@ def _tap_bounds(offx_g, offy_g, g: _PairGeom, tq, tw):
 
 def _run_pair_v2(
     v_l, off_pair, att_pair, hq, wq, hv, wv, radius, heads, head_dim, num_points,
-    plane_dtype=jnp.bfloat16, interpret=False, tile_override=None,
+    plane_dtype=jnp.bfloat16, interpret=False, tile_override=None, acc_in=None,
 ):
-    """One (lq, lv) pair -> (B, hq*wq, H*D) partial output (d-major channels)."""
+    """One (lq, lv) pair -> (B, hq*wq, H*D) partial output (d-major channels).
+
+    acc_in: optional (B, hq*wq, H*D) f32 running partial from previous value
+    levels of the same query level; aliased into the output so the kernel
+    accumulates in place.
+    """
     b = v_l.shape[0]
     c = heads * head_dim
     g = _PairGeom(hq, wq, hv, wv, radius)
@@ -387,18 +408,28 @@ def _run_pair_v2(
         slab_w=slab_w,
         single_x=(wq // tw) == 1,
         single_y=(hq // tq) == 1,
+        chained=acc_in is not None,
     )
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, tq, tw, ph), lambda bb, ty, tx: (bb, ty, tx, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tq, tw, ph), lambda bb, ty, tx: (bb, ty, tx, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tq, tw, ph), lambda bb, ty, tx: (bb, ty, tx, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+    ]
+    inputs = [bounds, offx_g, offy_g, att_g, planes]
+    kwargs = {}
+    if acc_in is not None:
+        in_specs.append(
+            pl.BlockSpec((1, tq, tw, c), lambda bb, ty, tx: (bb, ty, tx, 0), memory_space=pltpu.VMEM)
+        )
+        inputs.append(acc_in.reshape(b, hq, wq, c))
+        kwargs["input_output_aliases"] = {5: 0}
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, hq, wq, c), jnp.float32),
         grid=(b, hq // tq, wq // tw),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, tq, tw, ph), lambda bb, ty, tx: (bb, ty, tx, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tq, tw, ph), lambda bb, ty, tx: (bb, ty, tx, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tq, tw, ph), lambda bb, ty, tx: (bb, ty, tx, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, tq, tw, c), lambda bb, ty, tx: (bb, ty, tx, 0), memory_space=pltpu.VMEM
         ),
@@ -410,7 +441,8 @@ def _run_pair_v2(
             pltpu.SemaphoreType.DMA((len(g.planes),)),
         ],
         interpret=interpret,
-    )(bounds, offx_g, offy_g, att_g, planes)
+        **kwargs,
+    )(*inputs)
     return out.reshape(b, hq * wq, c)
 
 
@@ -458,12 +490,16 @@ def ms_deform_attn_window_pallas_v2(
                 vl5 = v_l.reshape(b, hv, wv, d, h).transpose(0, 1, 2, 4, 3)
                 part = xla_pair(vl5, o, a, hq, wq, hv, wv, radius)
                 part = part.transpose(0, 1, 2, 4, 3).reshape(b, hq * wq, h * d)
-            else:
-                part = _run_pair_v2(
-                    v_l, off_pair, att_pair, hq, wq, hv, wv, radius, h, d, p,
-                    interpret=interpret,
+                part = part.astype(jnp.float32)
+                out_per_qlevel[lq] = (
+                    part if out_per_qlevel[lq] is None else out_per_qlevel[lq] + part
                 )
-            out_per_qlevel[lq] = part if out_per_qlevel[lq] is None else out_per_qlevel[lq] + part
+            else:
+                # running partial accumulates INSIDE the kernel (aliased buffer)
+                out_per_qlevel[lq] = _run_pair_v2(
+                    v_l, off_pair, att_pair, hq, wq, hv, wv, radius, h, d, p,
+                    interpret=interpret, acc_in=out_per_qlevel[lq],
+                )
 
     out = jnp.concatenate(out_per_qlevel, axis=1)
     out = out.reshape(b, s, d, h).transpose(0, 1, 3, 2).reshape(b, s, h * d)

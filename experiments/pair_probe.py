@@ -95,6 +95,12 @@ def make_kernel(variant, g, tq, tw, slab_w, single_x, single_y):
 
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
+        if variant == "dma_only":
+            # copies started+waited, no compute loop: isolates slab DMA +
+            # dispatch + in/out block traffic (the per-tile fixed cost)
+            out_ref[0] = acc_ref[...].astype(out_ref.dtype)
+            return
+
         def v_body(v, _):
             hy = _hat(v.astype(jnp.float32) - py)
             ahy = att * hy
