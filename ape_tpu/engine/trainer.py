@@ -50,6 +50,9 @@ class Trainer:
         eval_fn: Optional[Callable] = None,  # state -> dict of results
         eval_period: int = 0,
         lr_fn: Optional[Callable] = None,  # step -> lr (for logging)
+        profile_dir: Optional[str] = None,  # jax.profiler trace output dir
+        profile_start: int = 10,  # first profiled iteration (skip compiles)
+        profile_iters: int = 5,  # number of iterations in the trace window
     ):
         from ape_tpu.parallel.mesh import is_main_process
 
@@ -75,6 +78,11 @@ class Trainer:
         self.checkpointer = checkpointer
         self._rng = jax.random.PRNGKey(rng_seed)
         self.mesh = mesh
+        # xplane profiling window (reference relies on external nsys/torch
+        # profiler runs; here it is a first-class trainer hook)
+        self.profile_dir = profile_dir
+        self.profile_start = profile_start
+        self.profile_iters = profile_iters
 
     def _next_batch(self) -> Dict:
         if self.dataset_sampler is not None and len(self.loaders) > 1:
@@ -128,7 +136,16 @@ class Trainer:
         logger.info(f"Starting training from iteration {start_iter} to {self.max_iter}")
         self.storage.iter = start_iter
         t0 = time.perf_counter()
+        profiling = False
         for it in range(start_iter, self.max_iter):
+            if self.profile_dir and self.is_main:
+                if it == self.profile_start:
+                    logger.info(f"profiler: tracing to {self.profile_dir}")
+                    jax.profiler.start_trace(self.profile_dir)
+                    profiling = True
+                elif profiling and it == self.profile_start + self.profile_iters:
+                    jax.profiler.stop_trace()
+                    profiling = False
             self.run_step()
             self.storage.put_scalar("time", time.perf_counter() - t0)
             if self.lr_fn is not None:
@@ -151,6 +168,8 @@ class Trainer:
                     logger.info(f"[eval @ {it + 1}] {name}: {res}")
                 t0 = time.perf_counter()  # eval time isn't step time
             self.storage.step()
+        if profiling:
+            jax.profiler.stop_trace()
         logger.info("Training done")
         return self.state
 

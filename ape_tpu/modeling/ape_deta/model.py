@@ -90,6 +90,11 @@ class APEDeta(nn.Module):
     mask_in_feature: str = "p2"
     mask_encode_level: int = 0
     aux_mask: bool = False
+    # closed-vocabulary mode (legacy `deta`, reference ape/modeling/deta/
+    # deformable_detr.py fixed-category head / zero_shot_fc.py zs_weight='rand'):
+    # a LEARNED class-embedding bank replaces the text-encoder features, so the
+    # same VisionLanguageAlign head becomes a fixed N-way classifier.
+    num_learned_classes: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -103,6 +108,18 @@ class APEDeta(nn.Module):
         deterministic: bool = True,
     ) -> Dict[str, Any]:
         num_layers = self.transformer.decoder.num_layers
+
+        if self.num_learned_classes:
+            bank = self.param(
+                "class_embedding",
+                nn.initializers.normal(0.02),
+                (self.num_learned_classes, self.embed_dim_language),
+            )
+            bsz = images.shape[0]
+            text_features = jnp.broadcast_to(
+                bank[None], (bsz,) + bank.shape
+            ).astype(self.dtype)
+            text_valid = jnp.ones((bsz, self.num_learned_classes), bool)
 
         # ---- backbone + neck ----
         backbone_feats = self.backbone(images, deterministic)

@@ -115,10 +115,20 @@ class Attention(nn.Module):
         )
         if use_flash:
             from jax.experimental.pallas.ops.tpu.flash_attention import (
+                BlockSizes,
                 flash_attention,
             )
 
-            out = flash_attention(q, k, v, sm_scale=scale)
+            # default BlockSizes cost 1.43 ms at (1,3,4096,64) on v5e; 1024
+            # blocks bring it under 0.2 ms (experiments/backbone_fix_probe.py)
+            blk = min(1024, n)
+            bs = BlockSizes(
+                block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
+                block_q_major_dkv=blk, block_k_major_dkv=blk,
+                block_k_dkv=blk, block_q_dkv=blk,
+                block_k_major_dq=blk, block_k_dq=blk, block_q_dq=blk,
+            )
+            out = flash_attention(q, k, v, sm_scale=scale, block_sizes=bs)
         else:
             attn = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k)
             if self.use_rel_pos:
@@ -235,6 +245,35 @@ class Block(nn.Module):
         return x + DropPath(self.drop_path, name="drop_path2")(y, deterministic)
 
 
+class PatchEmbed(nn.Module):
+    """Non-overlapping patchify as reshape + matmul.
+
+    Param tree matches flax nn.Conv ({kernel (P,P,3,D), bias (D,)}) so the
+    torch converter rules are unchanged, but the compute path avoids XLA's
+    strided-conv lowering: 1.64 ms -> 0.10 ms at 1024^2/16 on v5e
+    (experiments/backbone_fix_probe.py).
+    """
+
+    features: int
+    patch_size: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        p = self.patch_size
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (p, p, c, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        x = x.reshape(b, h // p, p, w // p, p, c).transpose(0, 1, 3, 2, 4, 5)
+        x = x.reshape(b, h // p, w // p, p * p * c).astype(self.dtype)
+        y = x @ kernel.reshape(p * p * c, self.features).astype(self.dtype)
+        return y + bias.astype(self.dtype)
+
+
 class EVAViT(nn.Module):
     """Plain ViT with windowed/global blocks producing one stride-16 feature map."""
 
@@ -263,12 +302,8 @@ class EVAViT(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         """x: (B, H, W, 3) -> (B, H/16, W/16, embed_dim)."""
-        x = nn.Conv(
-            self.embed_dim,
-            kernel_size=(self.patch_size, self.patch_size),
-            strides=(self.patch_size, self.patch_size),
-            dtype=self.dtype,
-            name="patch_embed",
+        x = PatchEmbed(
+            self.embed_dim, self.patch_size, dtype=self.dtype, name="patch_embed"
         )(x)
         b, h, w, c = x.shape
 

@@ -120,9 +120,13 @@ def build_ape_ti(
     embed_dim_language=1024,
     mask_on=True,
     window_radius=4,
+    num_learned_classes=0,
     dtype=jnp.float32,
 ):
-    """APE-Ti: EVA-02-Ti backbone, no VL fusion (BASELINE.json config #1/#2)."""
+    """APE-Ti: EVA-02-Ti backbone, no VL fusion (BASELINE.json config #1/#2).
+
+    num_learned_classes > 0 selects the closed-vocabulary legacy-deta head
+    (learned class-embedding bank instead of encoded text)."""
     return APEDeta(
         backbone=build_backbone_ti(img_size, dtype),
         neck=ChannelMapper(out_channels=256, dtype=dtype),
@@ -137,6 +141,7 @@ def build_ape_ti(
         embed_dim_language=embed_dim_language,
         num_queries=num_queries,
         mask_on=mask_on,
+        num_learned_classes=num_learned_classes,
         dtype=dtype,
     )
 

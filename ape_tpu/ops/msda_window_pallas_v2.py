@@ -59,6 +59,12 @@ U_CHUNK = int(os.environ.get("APE_MSDA_U_CHUNK", "1"))
 # larger budgets shrink the halo fraction of each DMA (tile_rows grows).
 VMEM_BUDGET = int(os.environ.get("APE_MSDA_VMEM_MB", "9")) * 1024 * 1024
 
+# Double-buffer the slab DMAs: prefetch tile i+1's planes while computing tile
+# i. dma_only probe: 1.6 ms of the 4.56 ms same-res pair is serialized DMA
+# start->wait; double-buffering hides it behind the compute loop at the cost of
+# halving the slab VMEM (smaller tiles). 0 disables (A/B knob).
+DBUF = os.environ.get("APE_MSDA_DBUF", "1") != "0"
+
 
 class _PairGeom:
     """Static geometry of one (query grid, value grid) pair."""
@@ -167,6 +173,7 @@ def _pair_kernel_v2(
     single_x,
     single_y,
     chained=False,
+    dbuf=False,
 ):
     # Cross-pair accumulation: when `chained`, the previous pairs' partial sum
     # for this query level streams in as an input block ALIASED to the output
@@ -184,20 +191,61 @@ def _pair_kernel_v2(
     rows_q = tq if g.sy > 1 else tq // g.inv_y
     tile_rows = rows_q + g.halo_y
 
-    row_start = 0 if single_y else ty * rows_q
-    col_start = 0 if single_x else pl.multiple_of(tx * tw, 8)
-    copies = [
-        pltpu.make_async_copy(
-            planes_hbm.at[
-                p, b, :, pl.ds(row_start, tile_rows), pl.ds(col_start, slab_w), :
-            ],
-            slabs.at[p],
-            sems.at[p],
-        )
-        for p in range(n_planes)
-    ]
-    for cp in copies:
-        cp.start()
+    if dbuf:
+        # Manual double-buffer over the sequential grid: tile idx's planes were
+        # prefetched by tile idx-1 (tile 0 fetches its own); this tile starts
+        # the prefetch for idx+1 into the other slot before computing.
+        nb, nty, ntx = pl.num_programs(0), pl.num_programs(1), pl.num_programs(2)
+        idx = (b * nty + ty) * ntx + tx
+        total = nb * nty * ntx
+        slot = jax.lax.rem(idx, 2)
+
+        def make_copies(i, slot_i):
+            b_i = i // (nty * ntx)
+            r = i % (nty * ntx)
+            ty_i = r // ntx
+            tx_i = r % ntx
+            row_s = 0 if single_y else ty_i * rows_q
+            col_s = 0 if single_x else pl.multiple_of(tx_i * tw, 8)
+            return [
+                pltpu.make_async_copy(
+                    planes_hbm.at[
+                        p, b_i, :, pl.ds(row_s, tile_rows), pl.ds(col_s, slab_w), :
+                    ],
+                    slabs.at[slot_i, p],
+                    sems.at[slot_i, p],
+                )
+                for p in range(n_planes)
+            ]
+
+        @pl.when(idx == 0)
+        def _():
+            for cp in make_copies(idx, slot):
+                cp.start()
+
+        @pl.when(idx + 1 < total)
+        def _():
+            for cp in make_copies(idx + 1, 1 - slot):
+                cp.start()
+
+        copies = make_copies(idx, slot)
+        cur_slab = slabs.at[slot]
+    else:
+        row_start = 0 if single_y else ty * rows_q
+        col_start = 0 if single_x else pl.multiple_of(tx * tw, 8)
+        copies = [
+            pltpu.make_async_copy(
+                planes_hbm.at[
+                    p, b, :, pl.ds(row_start, tile_rows), pl.ds(col_start, slab_w), :
+                ],
+                slabs.at[p],
+                sems.at[p],
+            )
+            for p in range(n_planes)
+        ]
+        for cp in copies:
+            cp.start()
+        cur_slab = slabs
 
     h, npt = heads, num_points
     radius = g.radius
@@ -276,7 +324,7 @@ def _pair_kernel_v2(
                 preferred_element_type=jnp.float32,
             )  # (tq, tw, C)
             plane_idx, a8 = g.u_to_plane[u]
-            view = slabs[plane_idx, phi_y, pl.ds(dy, rows_q), a8 : a8 + tw, :]
+            view = cur_slab[plane_idx, phi_y, pl.ds(dy, rows_q), a8 : a8 + tw, :]
             if g.inv_y > 1:
                 # row element-repeat via broadcast+merge of two free dims
                 view = jnp.broadcast_to(
@@ -289,21 +337,25 @@ def _pair_kernel_v2(
     out_ref[0] = acc_ref[...].astype(out_ref.dtype)
 
 
-def _choose_tiles(g: _PairGeom, c: int, plane_bytes: int, budget=None):
+def _choose_tiles(g: _PairGeom, c: int, plane_bytes: int, budget=None, dbuf=False):
     budget = budget or VMEM_BUDGET
     """Pick (tq, tw) so the slab stack + accumulator fit VMEM."""
     n_planes = len(g.planes)
+    n_slots = 2 if dbuf else 1
 
     def slab_bytes(tq, tw):
         rows_q = tq if g.sy > 1 else tq // g.inv_y
         slab_w = tw + g.max_a8
-        return n_planes * g.sy * (rows_q + g.halo_y) * slab_w * c * plane_bytes
+        return n_slots * n_planes * g.sy * (rows_q + g.halo_y) * slab_w * c * plane_bytes
 
     def total(tq, tw):
         acc = tq * tw * c * 4
-        blocks = tq * tw * (3 * 32 + 2 * c) * 4  # off/att in + out blocks (2x buf)
+        # pipeline buffers: off/att/ acc_in inputs + out, each double-buffered
+        blocks = tq * tw * (3 * 32 * 2 + 4 * c) * 4
         hx = g.win * tq * tw * 32 * 2  # hoisted bf16 x-hat temporaries
-        return slab_bytes(tq, tw) + acc + blocks + hx
+        stack = tq * tw * c * 4  # Mosaic stack temporaries (w per tap)
+        reserve = 512 * 1024  # alignment pad + semaphores + iota/expand consts
+        return slab_bytes(tq, tw) + acc + blocks + hx + stack + reserve
 
     tq = min(32, g.hq)
     while g.hq % tq:
@@ -379,7 +431,9 @@ def _run_pair_v2(
     g = _PairGeom(hq, wq, hv, wv, radius)
 
     planes = _prep_planes(v_l.reshape(b, hv, wv, c), g, plane_dtype)
-    tq, tw = tile_override or _choose_tiles(g, c, np.dtype(plane_dtype).itemsize)
+    tq, tw = tile_override or _choose_tiles(
+        g, c, np.dtype(plane_dtype).itemsize, dbuf=DBUF
+    )
     rows_q = tq if g.sy > 1 else tq // g.inv_y
     tile_rows = rows_q + g.halo_y
     slab_w = -(-(tw + g.max_a8) // 8) * 8  # DMA width stays 8-aligned
@@ -409,6 +463,7 @@ def _run_pair_v2(
         single_x=(wq // tw) == 1,
         single_y=(hq // tq) == 1,
         chained=acc_in is not None,
+        dbuf=DBUF,
     )
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -435,10 +490,11 @@ def _run_pair_v2(
         ),
         scratch_shapes=[
             pltpu.VMEM(
-                (len(g.planes), g.sy, tile_rows, slab_w, c), plane_dtype
+                ((2,) if DBUF else ()) + (len(g.planes), g.sy, tile_rows, slab_w, c),
+                plane_dtype,
             ),
             pltpu.VMEM((tq, tw, c), jnp.float32),
-            pltpu.SemaphoreType.DMA((len(g.planes),)),
+            pltpu.SemaphoreType.DMA(((2,) if DBUF else ()) + (len(g.planes),)),
         ],
         interpret=interpret,
         **kwargs,

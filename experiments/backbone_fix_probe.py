@@ -60,17 +60,24 @@ def main():
     # fold 3 heads into one 192-wide... not equivalent; instead fold heads into
     # the batch/row axis so each matmul is bigger: (H*N, D) x (D, N) per head is
     # what einsum already does. Try merged-qk layout: heads on lanes.
-    for name, fn in (
-        ("flash default", flash_default),
-        ("flash 1024 blocks", flash_big),
-        ("einsum f32 softmax", einsum_attn),
-        ("einsum bf16 softmax", einsum_bf16sm),
+    which = set(sys.argv[1].split(",")) if len(sys.argv) > 1 else {
+        "einsum_f32", "einsum_bf16", "flash", "flash_big", "patch"
+    }
+    for name, key, fn in (
+        ("einsum f32 softmax", "einsum_f32", einsum_attn),
+        ("einsum bf16 softmax", "einsum_bf16", einsum_bf16sm),
+        ("flash default", "flash", flash_default),
+        ("flash 1024 blocks", "flash_big", flash_big),
     ):
+        if key not in which:
+            continue
         try:
-            t = timed(fn, q, chains=(1, 9))
+            t = timed(fn, q, chains=(1, 5))
             print(f"  {name:20s}: {t*1e3:7.3f} ms", flush=True)
         except Exception as e:
             print(f"  {name:20s}: FAILED {type(e).__name__} {str(e)[:120]}", flush=True)
+    if "patch" not in which:
+        return
 
     # ---- patchify ----
     img = jnp.asarray(rng.randn(1, 1024, 1024, 3), jnp.float32)

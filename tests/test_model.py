@@ -39,6 +39,25 @@ def test_ape_deta_forward(rng):
         assert np.isfinite(np.asarray(out[k])).all(), k
 
 
+def test_closed_vocab_learned_bank(rng):
+    """num_learned_classes: the class head classifies against a learned bank
+    and ignores the provided text features (legacy-deta closed vocabulary)."""
+    model = build_ape_ti(
+        img_size=64, num_queries=16, window_radius=2, num_learned_classes=7
+    )
+    images, sizes, text, tvalid = make_inputs(rng, t=4)
+    params = model.init(jax.random.PRNGKey(0), images, sizes, text, tvalid)
+    assert "class_embedding" in params["params"]
+    out = model.apply(params, images, sizes, text, tvalid)
+    assert out["pred_logits"].shape == (1, 16, 7)  # 7 classes, not 4 text tokens
+    assert np.isfinite(np.asarray(out["pred_logits"])).all()
+    # text input is ignored entirely
+    out2 = model.apply(params, images, sizes, text + 1.0, tvalid)
+    np.testing.assert_allclose(
+        np.asarray(out["pred_logits"]), np.asarray(out2["pred_logits"]), rtol=1e-6
+    )
+
+
 def test_criterion_on_model_outputs(rng):
     import optax
 

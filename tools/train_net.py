@@ -244,6 +244,9 @@ def do_train(args, cfg):
         eval_fn=eval_fn,
         eval_period=int(train.get("eval_period", 0)),
         lr_fn=lr_fn,
+        profile_dir=train.get("profile_dir", None),
+        profile_start=int(train.get("profile_start", 10)),
+        profile_iters=int(train.get("profile_iters", 5)),
     )
     trainer.train(start_iter)
 
