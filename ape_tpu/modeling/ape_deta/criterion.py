@@ -26,7 +26,7 @@ from typing import Dict, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from ape_tpu.ops.box_ops import box_cxcywh_to_xyxy, generalized_box_iou
+from ape_tpu.ops.box_ops import box_cxcywh_to_xyxy, elementwise_generalized_box_iou
 from ape_tpu.ops.misc import sigmoid_focal_loss
 from ape_tpu.modeling.ape_deta.matchers import (
     hungarian_match,
@@ -103,11 +103,11 @@ class DeformableCriterion:
             matched = matched & _gather_gt(targets["is_thing"], assign)
         gt = _gather_gt(targets["boxes"], assign)
         l1 = jnp.sum(jnp.abs(pred - gt), -1)
-        giou = 1.0 - jax.vmap(
-            lambda p, g: jnp.diagonal(
-                generalized_box_iou(box_cxcywh_to_xyxy(p), box_cxcywh_to_xyxy(g))
-            )
-        )(pred, gt)
+        # elementwise, NOT diagonal(pairwise): the pairwise intermediate is
+        # O(K^2) and the encoder aux loss has K = all tokens (87k at 1024^2)
+        giou = 1.0 - elementwise_generalized_box_iou(
+            box_cxcywh_to_xyxy(pred), box_cxcywh_to_xyxy(gt)
+        )
         m = matched.astype(pred.dtype)
         return {
             "loss_bbox": jnp.sum(l1 * m) / num_boxes,

@@ -121,12 +121,15 @@ def build_ape_ti(
     mask_on=True,
     window_radius=4,
     num_learned_classes=0,
+    use_act_checkpoint=False,
     dtype=jnp.float32,
 ):
     """APE-Ti: EVA-02-Ti backbone, no VL fusion (BASELINE.json config #1/#2).
 
     num_learned_classes > 0 selects the closed-vocabulary legacy-deta head
-    (learned class-embedding bank instead of encoded text)."""
+    (learned class-embedding bank instead of encoded text).
+    use_act_checkpoint remats encoder/decoder layers (training at 1024^2
+    OOMs HBM without it: saved FFN activations are ~680 MB/layer)."""
     return APEDeta(
         backbone=build_backbone_ti(img_size, dtype),
         neck=ChannelMapper(out_channels=256, dtype=dtype),
@@ -135,6 +138,7 @@ def build_ape_ti(
             vl_fusion=False,
             embed_dim_language=embed_dim_language,
             window_radius=window_radius,
+            use_act_checkpoint=use_act_checkpoint,
             dtype=dtype,
         ),
         embed_dim=256,

@@ -69,6 +69,21 @@ def elementwise_box_iou(boxes1: jnp.ndarray, boxes2: jnp.ndarray):
     return inter / jnp.maximum(union, 1e-9), union
 
 
+def elementwise_generalized_box_iou(boxes1: jnp.ndarray, boxes2: jnp.ndarray):
+    """Elementwise GIoU of aligned xyxy boxes: (..., 4) x (..., 4) -> (...).
+
+    Same math as diagonal(generalized_box_iou(...)) without the O(N^2)
+    pairwise intermediate — the pairwise+diagonal form materializes an (N, N)
+    matrix in the VJP (measured: a 21824-token aux-loss backward allocated
+    2x 3.56 GB at 512^2 and OOM'd HBM)."""
+    iou, union = elementwise_box_iou(boxes1, boxes2)
+    lt = jnp.minimum(boxes1[..., :2], boxes2[..., :2])
+    rb = jnp.maximum(boxes1[..., 2:], boxes2[..., 2:])
+    wh = jnp.clip(rb - lt, 0)
+    area = wh[..., 0] * wh[..., 1]
+    return iou - (area - union) / jnp.maximum(area, 1e-9)
+
+
 def masks_to_boxes(masks: jnp.ndarray) -> jnp.ndarray:
     """Tight xyxy boxes around binary masks (reference: box_ops.masks_to_boxes).
 

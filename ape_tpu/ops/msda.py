@@ -12,8 +12,9 @@ gather formulation*: per level, the four bilinear corners are fetched with
 ``take_along_axis`` over the flattened (H*W) axis and reduced with the fused
 attention×bilinear weights. XLA keeps everything on the VPU and fuses the weight
 math; query chunking bounds the gather temporary so peak memory stays flat at the
-87k-token encoder scale. A Pallas kernel (ops/msda_pallas.py) covers the
-hottest configuration; this module is also its correctness oracle and its VJP is
+87k-token encoder scale. The TPU production paths are the Pallas window kernel
+(ops/msda_window_pallas_v2.py, encoder) and the hybrid gather/matmul decoder op
+(ops/msda_decoder.py); this module is their correctness oracle and its VJP is
 plain autodiff (gathers transpose to scatter-adds natively in XLA).
 
 Conventions (batch-first everywhere):

@@ -65,6 +65,12 @@ VMEM_BUDGET = int(os.environ.get("APE_MSDA_VMEM_MB", "9")) * 1024 * 1024
 # halving the slab VMEM (smaller tiles). 0 disables (A/B knob).
 DBUF = os.environ.get("APE_MSDA_DBUF", "1") != "0"
 
+# Dynamic u-tap skip: run the u loop as fori(u_lo, u_hi) with dynamic plane
+# select instead of the statically unrolled 11 taps. Wins when learned offsets
+# are local (active u range ~4-5 of 11); costs loop-dynamic overhead when the
+# whole window is active (earlier per-u predication measured +1.7 ms there).
+USKIP = os.environ.get("APE_MSDA_USKIP", "1") != "0"
+
 
 class _PairGeom:
     """Static geometry of one (query grid, value grid) pair."""
@@ -174,6 +180,7 @@ def _pair_kernel_v2(
     single_y,
     chained=False,
     dbuf=False,
+    uskip=False,
 ):
     # Cross-pair accumulation: when `chained`, the previous pairs' partial sum
     # for this query level streams in as an input block ALIASED to the output
@@ -305,7 +312,7 @@ def _pair_kernel_v2(
     # Inside the (v, u) loop the weight math is then a single bf16 multiply —
     # previously hat+mul+cast ran per tap on 32-of-128-lane f32 vregs and was
     # the measured kernel floor (weight path ~= total, PERF.md).
-    hx_bf = [_hat(u - px).astype(jnp.bfloat16) for u in range(g.win)]
+    hx_bf = None if uskip else [_hat(u - px).astype(jnp.bfloat16) for u in range(g.win)]
 
     def v_body(v, _):
         hy = _hat(v.astype(jnp.float32) - py)
@@ -316,21 +323,42 @@ def _pair_kernel_v2(
         else:
             phi_y = 0
             dy = v
-        for u in range(g.win):
-            whp = ahy * hx_bf[u]
+        def tap(whp, plane_idx, a8):
             w = jax.lax.dot_general(
                 whp, expand2,
                 dimension_numbers=(((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (tq, tw, C)
-            plane_idx, a8 = g.u_to_plane[u]
-            view = cur_slab[plane_idx, phi_y, pl.ds(dy, rows_q), a8 : a8 + tw, :]
+            view = cur_slab[plane_idx, phi_y, pl.ds(dy, rows_q), pl.ds(a8, tw), :]
             if g.inv_y > 1:
                 # row element-repeat via broadcast+merge of two free dims
                 view = jnp.broadcast_to(
                     view[:, None], (rows_q, g.inv_y, tw, view.shape[-1])
                 ).reshape(rows_q * g.inv_y, tw, view.shape[-1])
             acc_ref[...] = acc_ref[...] + w * view.astype(jnp.float32)
+
+        if uskip:
+            u_lo = bounds_ref[b, ty, tx, 0]
+            u_hi = bounds_ref[b, ty, tx, 1]
+
+            def u_body(u, _):
+                hx = _hat(u.astype(jnp.float32) - px).astype(jnp.bfloat16)
+                if g.sx > 1:
+                    plane_idx, a8 = u, 0
+                else:
+                    ushift = u * g.inv_x
+                    rem = jax.lax.rem(ushift, 8)
+                    # planes hold sorted sub-8 shifts [0, inv_x, 2*inv_x, ...]
+                    plane_idx = rem // g.inv_x
+                    a8 = pl.multiple_of(ushift - rem, 8)
+                tap(ahy * hx, plane_idx, a8)
+                return 0
+
+            jax.lax.fori_loop(u_lo, u_hi + 1, u_body, 0)
+        else:
+            for u in range(g.win):
+                plane_idx, a8 = g.u_to_plane[u]
+                tap(ahy * hx_bf[u], plane_idx, a8)
         return 0
 
     jax.lax.fori_loop(v_lo, v_hi + 1, v_body, 0)
@@ -464,6 +492,7 @@ def _run_pair_v2(
         single_y=(hq // tq) == 1,
         chained=acc_in is not None,
         dbuf=DBUF,
+        uskip=USKIP,
     )
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),

@@ -132,6 +132,11 @@ def main():
     refp = encoder_reference_points(level_shapes, vr)
     gcorr = encoder_grid_corrections(level_shapes, vr)
 
+    # ONE layer, scaled by num_layers: chaining the 6-layer stack exceeds the
+    # remote-compile budget (each layer instance compiles 25 pair kernels)
+    n_enc_layers = enc.num_layers
+    enc = enc.copy(num_layers=1)
+
     enc_params = synth_params(
         enc,
         lambda r: enc.init(
@@ -146,7 +151,7 @@ def main():
         return out
 
     if "enc" in PARTS:
-        t_enc = timed(enc_fwd, x, enc_params, chains=(1, 3))
+        t_enc = timed(enc_fwd, x, enc_params, chains=(1, 3)) * n_enc_layers
 
     # ---- DETA first-stage select ----
     from ape_tpu.modeling.ape_deta.transformer import deta_first_stage_select

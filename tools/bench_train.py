@@ -28,7 +28,10 @@ def main():
     from ape_tpu.modeling.ape_deta.criterion import DeformableCriterion, default_weight_dict
     from ape_tpu.engine.train_step import create_train_state, make_train_step
 
-    model = build_ape_ti(img_size=IMG, num_queries=300, window_radius=4)
+    model = build_ape_ti(
+        img_size=IMG, num_queries=300, window_radius=4,
+        use_act_checkpoint=IMG >= 1024,  # 1024^2 training OOMs HBM without remat
+    )
     rng = np.random.RandomState(0)
     nt = 80
     batch = {
