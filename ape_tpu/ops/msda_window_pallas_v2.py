@@ -292,7 +292,7 @@ def _pair_kernel_v2(
         cp.wait()
 
     if acc_in_ref is not None:
-        acc_ref[...] = acc_in_ref[0]
+        acc_ref[...] = acc_in_ref[0].astype(jnp.float32)
     else:
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
@@ -447,12 +447,15 @@ def _tap_bounds(offx_g, offy_g, g: _PairGeom, tq, tw):
 def _run_pair_v2(
     v_l, off_pair, att_pair, hq, wq, hv, wv, radius, heads, head_dim, num_points,
     plane_dtype=jnp.bfloat16, interpret=False, tile_override=None, acc_in=None,
+    out_dtype=jnp.float32,
 ):
     """One (lq, lv) pair -> (B, hq*wq, H*D) partial output (d-major channels).
 
-    acc_in: optional (B, hq*wq, H*D) f32 running partial from previous value
-    levels of the same query level; aliased into the output so the kernel
-    accumulates in place.
+    acc_in: optional (B, hq*wq, H*D) running partial (dtype out_dtype) from
+    previous value levels of the same query level; aliased into the output so
+    the kernel accumulates in place. bf16 out_dtype halves the partials'
+    stream traffic (5 levels read+write the full query-level output each);
+    in-kernel accumulation stays f32.
     """
     b = v_l.shape[0]
     c = heads * head_dim
@@ -511,7 +514,7 @@ def _run_pair_v2(
         kwargs["input_output_aliases"] = {5: 0}
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, hq, wq, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, hq, wq, c), out_dtype),
         grid=(b, hq // tq, wq // tw),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
@@ -551,6 +554,9 @@ def ms_deform_attn_window_pallas_v2(
     att32 = attention_weights.astype(jnp.float32)
     # d-major channel layout (channel = d*H + h) matches the weight expansion
     value_f = value.astype(jnp.float32).transpose(0, 1, 3, 2).reshape(b, s, h * d)
+    # bf16 models carry the cross-pair partials in bf16 (the final output is
+    # cast to value.dtype anyway); f32 models keep exact f32 partials
+    part_dtype = jnp.bfloat16 if value.dtype == jnp.bfloat16 else jnp.float32
 
     out_per_qlevel = [None] * l
     for lv, (hv, wv) in enumerate(spatial_shapes):
@@ -575,7 +581,7 @@ def ms_deform_attn_window_pallas_v2(
                 vl5 = v_l.reshape(b, hv, wv, d, h).transpose(0, 1, 2, 4, 3)
                 part = xla_pair(vl5, o, a, hq, wq, hv, wv, radius)
                 part = part.transpose(0, 1, 2, 4, 3).reshape(b, hq * wq, h * d)
-                part = part.astype(jnp.float32)
+                part = part.astype(part_dtype)
                 out_per_qlevel[lq] = (
                     part if out_per_qlevel[lq] is None else out_per_qlevel[lq] + part
                 )
@@ -584,6 +590,7 @@ def ms_deform_attn_window_pallas_v2(
                 out_per_qlevel[lq] = _run_pair_v2(
                     v_l, off_pair, att_pair, hq, wq, hv, wv, radius, h, d, p,
                     interpret=interpret, acc_in=out_per_qlevel[lq],
+                    out_dtype=part_dtype,
                 )
 
     out = jnp.concatenate(out_per_qlevel, axis=1)

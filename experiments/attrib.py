@@ -153,6 +153,28 @@ def main():
     if "enc" in PARTS:
         t_enc = timed(enc_fwd, x, enc_params, chains=(1, 3)) * n_enc_layers
 
+    # ---- decoder stack at production shapes ----
+    if "dec" in PARTS:
+        dec = model.transformer.decoder
+        K = model.num_queries
+        q0 = jnp.asarray(rng.randn(1, K, C), DTYPE)
+        qpos = jnp.asarray(rng.randn(1, K, C), DTYPE)
+        mem = jnp.asarray(rng.randn(1, S, C), DTYPE)
+        refs = jnp.asarray(rng.rand(1, K, 4), jnp.float32)
+        dec_params = synth_params(
+            dec,
+            lambda r: dec.init(r, q0, qpos, mem, vmask, level_shapes, refs, vr),
+        )
+
+        def dec_fwd(mem, p):
+            out = dec.apply(
+                {"params": p}, q0, qpos, mem, vmask, level_shapes, refs, vr
+            )
+            return out[0]
+
+        t_dec = timed(dec_fwd, mem, dec_params, chains=(1, 3))
+        print(f"decoder (6 layers): {t_dec*1e3:8.1f} ms", flush=True)
+
     # ---- DETA first-stage select ----
     from ape_tpu.modeling.ape_deta.transformer import deta_first_stage_select
 

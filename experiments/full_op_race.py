@@ -23,7 +23,11 @@ def time_op(fn, chains=(2, 8), reps=3):
     S = sum(h * w for h, w in SHAPES)
     rng = np.random.RandomState(0)
     value = jnp.asarray(rng.randn(1, S, H, D), jnp.float32)
-    off = jnp.asarray(rng.randn(1, S, H, len(SHAPES), P, 2) * 2, jnp.float32)
+    off = jnp.asarray(
+        rng.randn(1, S, H, len(SHAPES), P, 2)
+        * float(os.environ.get("OFF_SCALE", "2")),
+        jnp.float32,
+    )
     att = jnp.asarray(rng.rand(1, S, H, len(SHAPES), P), jnp.float32)
     alts = [value + k * 1e-3 for k in range(1, reps + 1)]
     for a in alts:

@@ -1,0 +1,63 @@
+"""Time the full APE-Ti forward with the encoder stack removed (num_layers=0):
+isolates the non-encoder remainder (backbone, select, decoder, heads, mask
+head, glue) that attrib.py cannot chain within the remote-compile budget.
+
+    python experiments/remainder_probe.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+IMG = int(os.environ.get("BENCH_IMG", 1024))
+DTYPE = jnp.dtype(os.environ.get("BENCH_DTYPE", "bfloat16"))
+
+
+def main():
+    from ape_tpu.modeling.build import build_ape_ti
+
+    model = build_ape_ti(img_size=IMG, num_queries=900, window_radius=4, dtype=DTYPE)
+    model = model.copy(
+        transformer=model.transformer.copy(
+            encoder=model.transformer.encoder.copy(num_layers=0)
+        )
+    )
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randn(1, IMG, IMG, 3), jnp.float32)
+    sizes = jnp.asarray([[IMG, IMG]], jnp.int32)
+    text = jnp.asarray(rng.randn(1, 80, 1024), jnp.float32)
+    tvalid = jnp.ones((1, 80), bool)
+
+    shapes = jax.eval_shape(
+        lambda r: model.init(r, images, sizes, text, tvalid), jax.random.PRNGKey(0)
+    )["params"]
+    prng = np.random.RandomState(0)
+    params = jax.tree.map(
+        lambda s: jnp.asarray(prng.normal(0, 0.02, s.shape).astype(s.dtype)), shapes
+    )
+
+    @jax.jit
+    def fwd(params, images):
+        out = model.apply({"params": params}, images, sizes, text, tvalid)
+        return out["pred_logits"], out["pred_boxes"], out.get("pred_masks")
+
+    out = fwd(params, images)
+    np.asarray(out[0][..., :1])
+    np.asarray((images + 0.5)[..., :1, :1])
+    t0 = time.perf_counter()
+    for k in range(8):
+        out = fwd(params, images + float(k) * 1e-3)
+    np.asarray(out[0][..., :1])
+    dt = (time.perf_counter() - t0) / 8
+    print(f"full forward, 0 encoder layers: {dt*1e3:.1f} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -75,3 +75,23 @@ def test_v2_kernel_interpret_parity(rng):
     ref = ms_deform_attn_window(v, shapes, off, att, radius=4)
     got = ms_deform_attn_window_pallas_v2(v, shapes, off, att, radius=4, interpret=True)
     assert float(jnp.abs(ref - got).max()) < 2e-2  # bf16 planes
+
+    # both u-loop variants (dynamic tap-skip fori vs static unrolled) must agree
+    import ape_tpu.ops.msda_window_pallas_v2 as v2mod
+
+    orig = v2mod.USKIP
+    try:
+        v2mod.USKIP = not orig
+        got2 = ms_deform_attn_window_pallas_v2(
+            v, shapes, off, att, radius=4, interpret=True
+        )
+    finally:
+        v2mod.USKIP = orig
+    assert float(jnp.abs(ref - got2).max()) < 2e-2
+
+    # bf16 value path: partials are carried bf16 between pair kernels
+    got_bf = ms_deform_attn_window_pallas_v2(
+        v.astype(jnp.bfloat16), shapes, off, att, radius=4, interpret=True
+    )
+    assert got_bf.dtype == jnp.bfloat16
+    assert float(jnp.abs(ref - got_bf.astype(jnp.float32)).max()) < 6e-2
