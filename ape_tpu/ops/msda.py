@@ -79,24 +79,25 @@ def _sample_level(
     return out
 
 
-def _sample_level_mergex(
+def _sample_level_patch(
     value_l: jnp.ndarray,  # (B, HW, H, D)
     loc_l: jnp.ndarray,  # (B, Q, H, P, 2) in [0, 1], (x, y)
     w_l: jnp.ndarray,  # (B, Q, H, P)
     height: int,
     width: int,
 ) -> jnp.ndarray:
-    """Bilinear samples via 2 sliced gathers (adjacent-x taps fetched together).
+    """Bilinear samples via ONE (2, 2, D) sliced gather per (q, p, h) tap.
 
-    Numerically identical to ``_sample_level`` but issues HALF the gather
-    indices with doubled payload contiguity (slice_sizes=(2, D) on a per-head
-    (HW, D) operand): measured 3.64 -> 2.28 ms per decoder layer on v5e
-    (experiments/decoder_gather_probe.py). XLA TPU gather is per-index-bound,
-    so index count is the knob that matters.
+    Quarter of ``_sample_level``'s gather indices: the whole bilinear patch is
+    fetched with a single 2-D start index. 4.47 -> 3.27 ms/decoder-layer vs
+    the adjacent-x merge on v5e (experiments/decoder_gather_probe.py); XLA TPU
+    gather cost is per-index-bound. Border clamps shift the patch base, so tap
+    weights are routed to slice positions by the (sx, sy) shifts — displaced
+    taps are out of range and carry zero weight.
     """
     b, q, h, p = w_l.shape
     d = value_l.shape[-1]
-    x = loc_l[..., 0] * width - 0.5  # (B, Q, H, P)
+    x = loc_l[..., 0] * width - 0.5
     y = loc_l[..., 1] * height - 0.5
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
@@ -105,49 +106,45 @@ def _sample_level_mergex(
     ix0 = x0.astype(jnp.int32)
     iy0 = y0.astype(jnp.int32)
 
-    vop = value_l.transpose(0, 2, 1, 3)  # (B, H, HW, D)
+    vop = value_l.transpose(0, 2, 1, 3).reshape(b, h, height, width, d)
 
-    out = None
-    for dy in (0, 1):
-        iy = iy0 + dy
-        ry = (iy >= 0) & (iy < height)
-        vx0 = (ix0 >= 0) & (ix0 < width) & ry
-        vx1 = (ix0 + 1 >= 0) & (ix0 + 1 < width) & ry
-        wy = fy if dy else 1.0 - fy
-        w0 = jnp.where(vx0, (1.0 - fx) * wy * w_l, 0.0)  # (B, Q, H, P)
-        w1 = jnp.where(vx1, fx * wy * w_l, 0.0)
-        # base index: clamp so [base, base+1] stays inside the row. When the
-        # clamp shifts the base (ix0 = -1 or width-1) the taps land on other
-        # slice positions -- route the weights by the shift (the displaced
-        # tap is out of range there, so its weight is already zero).
-        base = jnp.clip(ix0, 0, width - 2)
-        sh = ix0 - base  # -1, 0, or >= 1
-        ws0 = jnp.where(sh == 0, w0, jnp.where(sh == -1, w1, 0.0))
-        ws1 = jnp.where(sh == 0, w1, jnp.where(sh == 1, w0, 0.0))
-        lin = jnp.clip(iy, 0, height - 1) * width + base
-        idx = lin.transpose(0, 2, 1, 3).reshape(b, h, q * p)  # (B, H, QP)
+    bx = jnp.clip(ix0, 0, width - 2)
+    by = jnp.clip(iy0, 0, height - 2)
+    sx = ix0 - bx
+    sy = iy0 - by
+    wx0 = jnp.where((ix0 >= 0) & (ix0 < width), 1.0 - fx, 0.0)
+    wx1 = jnp.where((ix0 + 1 >= 0) & (ix0 + 1 < width), fx, 0.0)
+    wy0 = jnp.where((iy0 >= 0) & (iy0 < height), 1.0 - fy, 0.0)
+    wy1 = jnp.where((iy0 + 1 >= 0) & (iy0 + 1 < height), fy, 0.0)
+    wxa = jnp.where(sx == 0, wx0, jnp.where(sx == -1, wx1, 0.0))
+    wxb = jnp.where(sx == 0, wx1, jnp.where(sx == 1, wx0, 0.0))
+    wya = jnp.where(sy == 0, wy0, jnp.where(sy == -1, wy1, 0.0))
+    wyb = jnp.where(sy == 0, wy1, jnp.where(sy == 1, wy0, 0.0))
 
-        def g1(op, ind):  # op (HW, D), ind (QP,)
-            return jax.lax.gather(
-                op,
-                ind[:, None],
-                jax.lax.GatherDimensionNumbers(
-                    offset_dims=(1, 2),
-                    collapsed_slice_dims=(),
-                    start_index_map=(0,),
-                ),
-                slice_sizes=(2, d),
-                mode="clip",
-            )  # (QP, 2, D)
+    idx = jnp.stack(
+        [by.transpose(0, 2, 1, 3).reshape(b, h, q * p),
+         bx.transpose(0, 2, 1, 3).reshape(b, h, q * p)], -1
+    )  # (B, H, QP, 2)
 
-        g = jax.vmap(jax.vmap(g1))(vop, idx)  # (B, H, QP, 2, D)
-        g = g.reshape(b, h, q, p, 2, d)
-        ws0 = ws0.transpose(0, 2, 1, 3).astype(g.dtype)  # (B, H, Q, P)
-        ws1 = ws1.transpose(0, 2, 1, 3).astype(g.dtype)
-        contrib = jnp.einsum("bhqpd,bhqp->bhqd", g[:, :, :, :, 0], ws0) + jnp.einsum(
-            "bhqpd,bhqp->bhqd", g[:, :, :, :, 1], ws1
-        )
-        out = contrib if out is None else out + contrib
+    def g1(op, ind):  # op (Hl, Wl, D), ind (QP, 2)
+        return jax.lax.gather(
+            op,
+            ind,
+            jax.lax.GatherDimensionNumbers(
+                offset_dims=(1, 2, 3),
+                collapsed_slice_dims=(),
+                start_index_map=(0, 1),
+            ),
+            slice_sizes=(2, 2, d),
+            mode="clip",
+        )  # (QP, 2, 2, D)
+
+    g = jax.vmap(jax.vmap(g1))(vop, idx).reshape(b, h, q, p, 4, d)
+    wgt = jnp.stack(
+        [wya * wxa, wya * wxb, wyb * wxa, wyb * wxb], -1
+    ) * w_l[..., None]  # (B, Q, H, P, 4)
+    wgt = wgt.transpose(0, 2, 1, 3, 4).astype(g.dtype)  # (B, H, Q, P, 4)
+    out = jnp.einsum("bhqpkd,bhqpk->bhqd", g, wgt)
     return out.transpose(0, 2, 1, 3)  # (B, Q, H, D)
 
 
@@ -174,7 +171,7 @@ def ms_deform_attn(
         out = jnp.zeros((b, loc.shape[1], h, d), dtype=value.dtype)
         for lvl, (hh, ww) in enumerate(spatial_shapes):
             value_l = jax.lax.dynamic_slice_in_dim(value, starts[lvl], hh * ww, axis=1)
-            sample = _sample_level_mergex if ww >= 2 else _sample_level
+            sample = _sample_level_patch if (ww >= 2 and hh >= 2) else _sample_level
             out = out + sample(
                 value_l, loc[:, :, :, lvl], w[:, :, :, lvl], hh, ww
             )

@@ -127,6 +127,79 @@ def mergex_msda(value, spatial_shapes, loc, att):
     return out.reshape(b, q, -1)
 
 
+def patch_sample_level(value_l, loc_l, w_l, height, width):
+    """Bilinear sample via ONE 2x2x D sliced gather per (q, p, h) tap."""
+    b, q, h, p = w_l.shape
+    d = value_l.shape[-1]
+    x = loc_l[..., 0] * width - 0.5
+    y = loc_l[..., 1] * height - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    ix0 = x0.astype(jnp.int32)
+    iy0 = y0.astype(jnp.int32)
+
+    vop = value_l.transpose(0, 2, 1, 3).reshape(b, h, height, width, d)
+
+    bx = jnp.clip(ix0, 0, width - 2)
+    by = jnp.clip(iy0, 0, height - 2)
+    sx = ix0 - bx  # -1, 0, or >=1: slice-position shift of the x taps
+    sy = iy0 - by
+    vx0 = (ix0 >= 0) & (ix0 < width)
+    vx1 = (ix0 + 1 >= 0) & (ix0 + 1 < width)
+    vy0 = (iy0 >= 0) & (iy0 < height)
+    vy1 = (iy0 + 1 >= 0) & (iy0 + 1 < height)
+    wx0 = jnp.where(vx0, 1.0 - fx, 0.0)
+    wx1 = jnp.where(vx1, fx, 0.0)
+    wy0 = jnp.where(vy0, 1.0 - fy, 0.0)
+    wy1 = jnp.where(vy1, fy, 0.0)
+    # route weights by the clamp shift (displaced taps have zero weight)
+    wxa = jnp.where(sx == 0, wx0, jnp.where(sx == -1, wx1, 0.0))
+    wxb = jnp.where(sx == 0, wx1, jnp.where(sx == 1, wx0, 0.0))
+    wya = jnp.where(sy == 0, wy0, jnp.where(sy == -1, wy1, 0.0))
+    wyb = jnp.where(sy == 0, wy1, jnp.where(sy == 1, wy0, 0.0))
+
+    idx = jnp.stack(
+        [by.transpose(0, 2, 1, 3).reshape(b, h, q * p),
+         bx.transpose(0, 2, 1, 3).reshape(b, h, q * p)], -1
+    )  # (B, H, QP, 2)
+
+    def g1(op, ind):  # op (Hl, Wl, D), ind (QP, 2)
+        return jax.lax.gather(
+            op,
+            ind,
+            jax.lax.GatherDimensionNumbers(
+                offset_dims=(1, 2, 3),
+                collapsed_slice_dims=(),
+                start_index_map=(0, 1),
+            ),
+            slice_sizes=(2, 2, d),
+            mode="clip",
+        )  # (QP, 2, 2, D)
+
+    g = jax.vmap(jax.vmap(g1))(vop, idx).reshape(b, h, q, p, 2, 2, d)
+    wgt = jnp.stack(
+        [wya * wxa, wya * wxb, wyb * wxa, wyb * wxb], -1
+    ) * w_l[..., None]  # (B, Q, H, P, 4)
+    wgt = wgt.transpose(0, 2, 1, 3, 4).astype(g.dtype)  # (B, H, Q, P, 4)
+    out = jnp.einsum("bhqpkd,bhqpk->bhqd", g.reshape(b, h, q, p, 4, d), wgt)
+    return out.transpose(0, 2, 1, 3)
+
+
+def patch_msda(value, spatial_shapes, loc, att):
+    from ape_tpu.ops.msda import level_start_index
+
+    starts, total = level_start_index(spatial_shapes)
+    out = None
+    for l, (hgt, wdt) in enumerate(spatial_shapes):
+        v_l = jax.lax.dynamic_slice_in_dim(value, starts[l], hgt * wdt, axis=1)
+        o = patch_sample_level(v_l, loc[:, :, :, l], att[:, :, :, l], hgt, wdt)
+        out = o if out is None else out + o
+    b, q = out.shape[:2]
+    return out.reshape(b, q, -1)
+
+
 def main():
     from ape_tpu.ops.msda import ms_deform_attn
 
@@ -147,10 +220,18 @@ def main():
     err = float(diff(value))
     print(f"mergex parity max|diff| = {err:.2e}")
 
+    @jax.jit
+    def diffp(value):
+        ref = ms_deform_attn(value, SHAPES, loc, att)
+        got = patch_msda(value, SHAPES, loc, att)
+        return jnp.max(jnp.abs(ref - got))
+
+    print(f"patch parity max|diff| = {float(diffp(value)):.2e}", flush=True)
+
     t_cur = timed(lambda v: ms_deform_attn(v, SHAPES, loc, att), (value,))
-    print(f"cur    : {t_cur*1e3:7.2f} ms/layer", flush=True)
-    t_mx = timed(lambda v: mergex_msda(v, SHAPES, loc, att), (value,))
-    print(f"mergex : {t_mx*1e3:7.2f} ms/layer", flush=True)
+    print(f"cur (mergex): {t_cur*1e3:7.2f} ms/layer", flush=True)
+    t_p = timed(lambda v: patch_msda(v, SHAPES, loc, att), (value,))
+    print(f"patch 2x2   : {t_p*1e3:7.2f} ms/layer", flush=True)
 
 
 if __name__ == "__main__":

@@ -23,10 +23,16 @@ DTYPE = jnp.dtype(os.environ.get("BENCH_DTYPE", "bfloat16"))
 def main():
     from ape_tpu.modeling.build import build_ape_ti
 
-    model = build_ape_ti(img_size=IMG, num_queries=900, window_radius=4, dtype=DTYPE)
+    n_enc = int(os.environ.get("N_ENC", 0))
+    n_dec = int(os.environ.get("N_DEC", 6))
+    mask_on = os.environ.get("MASK_ON", "1") != "0"
+    model = build_ape_ti(
+        img_size=IMG, num_queries=900, window_radius=4, dtype=DTYPE, mask_on=mask_on
+    )
     model = model.copy(
         transformer=model.transformer.copy(
-            encoder=model.transformer.encoder.copy(num_layers=0)
+            encoder=model.transformer.encoder.copy(num_layers=n_enc),
+            decoder=model.transformer.decoder.copy(num_layers=max(n_dec, 1)),
         )
     )
     rng = np.random.RandomState(0)
@@ -56,7 +62,10 @@ def main():
         out = fwd(params, images + float(k) * 1e-3)
     np.asarray(out[0][..., :1])
     dt = (time.perf_counter() - t0) / 8
-    print(f"full forward, 0 encoder layers: {dt*1e3:.1f} ms")
+    print(
+        f"full forward enc={n_enc} dec={max(n_dec,1)} mask={int(mask_on)}: "
+        f"{dt*1e3:.1f} ms"
+    )
 
 
 if __name__ == "__main__":
