@@ -36,6 +36,14 @@ def _exact_equiv(value, spatial_shapes, pixel_offsets, attention_weights, radius
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4))
 def _window_pallas_with_exact_grad(value, spatial_shapes, pixel_offsets, attention_weights, radius):
+    import os
+
+    if os.environ.get("APE_MSDA_FUSED", "0") != "0":
+        from ape_tpu.ops.msda_window_pallas_v5 import ms_deform_attn_window_pallas_v5
+
+        return ms_deform_attn_window_pallas_v5(
+            value, spatial_shapes, pixel_offsets, attention_weights, radius
+        )
     from ape_tpu.ops.msda_window_pallas_v2 import ms_deform_attn_window_pallas_v2
 
     return ms_deform_attn_window_pallas_v2(

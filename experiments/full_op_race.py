@@ -64,3 +64,7 @@ if __name__ == "__main__":
         from ape_tpu.ops.msda_window_pallas_v3 import ms_deform_attn_window_pallas_v3
 
         print(f"v3 (fused rows)     : {time_op(ms_deform_attn_window_pallas_v3)*1e3:7.2f} ms/layer", flush=True)
+    if which in ("v5", "both"):
+        from ape_tpu.ops.msda_window_pallas_v5 import ms_deform_attn_window_pallas_v5
+
+        print(f"v5 (fused vlevels)  : {time_op(ms_deform_attn_window_pallas_v5)*1e3:7.2f} ms/layer", flush=True)
