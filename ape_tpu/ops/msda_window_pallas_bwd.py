@@ -151,6 +151,8 @@ def _grad_kernel_offatt(
 
     v_lo = bounds_ref[b, ty, tx, 2]
     v_hi = bounds_ref[b, ty, tx, 3]
+    u_lo = bounds_ref[b, ty, tx, 0]
+    u_hi = bounds_ref[b, ty, tx, 1]
 
     def v_body(v, _):
         vf = v.astype(jnp.float32)
@@ -162,9 +164,19 @@ def _grad_kernel_offatt(
         else:
             phi_y = 0
             dy = v
-        for u in range(g.win):
-            plane_idx, a8 = g.u_to_plane[u]
-            view = slabs[plane_idx, phi_y, pl.ds(dy, rows_q), a8 : a8 + tw, :]
+
+        # dynamic u-tap skip with dynamic plane select — same scheme as the
+        # forward kernel (ops/msda_window_pallas_v2.py)
+        def u_body(u, _):
+            uf = u.astype(jnp.float32)
+            if g.sx > 1:
+                plane_idx, a8 = u, 0
+            else:
+                ushift = u * g.inv_x
+                rem = jax.lax.rem(ushift, 8)
+                plane_idx = rem // g.inv_x
+                a8 = pl.multiple_of(ushift - rem, 8)
+            view = slabs[plane_idx, phi_y, pl.ds(dy, rows_q), pl.ds(a8, tw), :]
             if g.inv_y > 1:
                 view = jnp.broadcast_to(
                     view[:, None], (rows_q, g.inv_y, tw, view.shape[-1])
@@ -175,12 +187,15 @@ def _grad_kernel_offatt(
                 dimension_numbers=(((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (tq, tw, PH): s_h replicated across points
-            hx = _hat(u - px)
-            dhx = _dpos(u - px)
+            hx = _hat(uf - px)
+            dhx = _dpos(uf - px)
             sa = s * att
             datt_acc[...] = datt_acc[...] + s * (hy * hx)
             dox_acc[...] = dox_acc[...] + sa * (hy * dhx)
             doy_acc[...] = doy_acc[...] + sa * (dhy * hx)
+            return 0
+
+        jax.lax.fori_loop(u_lo, u_hi + 1, u_body, 0)
         return 0
 
     jax.lax.fori_loop(v_lo, v_hi + 1, v_body, 0)
@@ -340,6 +355,8 @@ def _grad_kernel_value(
 
     v_lo = bounds_ref[b, ty, tx, 2]
     v_hi = bounds_ref[b, ty, tx, 3]
+    u_lo = bounds_ref[b, ty, tx, 0]
+    u_hi = bounds_ref[b, ty, tx, 1]
 
     def v_body(v, _):
         hy = _hat(v.astype(jnp.float32) - py)
@@ -350,8 +367,9 @@ def _grad_kernel_value(
         else:
             phi_y = 0
             dy = v
-        for u in range(g.win):
-            whp = ahy * _hat(u - px)
+
+        def u_body(u, _):
+            whp = ahy * _hat(u.astype(jnp.float32) - px)
             w = jax.lax.dot_general(
                 whp.astype(jnp.bfloat16), expand2,
                 dimension_numbers=(((2,), (0,)), ((), ())),
@@ -361,10 +379,19 @@ def _grad_kernel_value(
             if g.inv_y > 1:
                 # transpose of the forward's row repeat: sum query-row groups
                 contrib = contrib.reshape(rows_q, g.inv_y, tw, c).sum(axis=1)
-            plane_idx, a8 = g.u_to_plane[u]
-            dslab[plane_idx, phi_y, pl.ds(dy, rows_q), a8 : a8 + tw, :] = (
-                dslab[plane_idx, phi_y, pl.ds(dy, rows_q), a8 : a8 + tw, :] + contrib
+            if g.sx > 1:
+                plane_idx, a8 = u, 0
+            else:
+                ushift = u * g.inv_x
+                rem = jax.lax.rem(ushift, 8)
+                plane_idx = rem // g.inv_x
+                a8 = pl.multiple_of(ushift - rem, 8)
+            dslab[plane_idx, phi_y, pl.ds(dy, rows_q), pl.ds(a8, tw), :] = (
+                dslab[plane_idx, phi_y, pl.ds(dy, rows_q), pl.ds(a8, tw), :] + contrib
             )
+            return 0
+
+        jax.lax.fori_loop(u_lo, u_hi + 1, u_body, 0)
         return 0
 
     jax.lax.fori_loop(v_lo, v_hi + 1, v_body, 0)

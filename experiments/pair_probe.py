@@ -111,6 +111,19 @@ def make_kernel(variant, g, tq, tw, slab_w, single_x, single_y):
                 phi_y = 0
                 dy = v
             for u in range(g.win):
+                if variant == "bf16fma":
+                    # per-u FMA in bf16, folded into the f32 acc once per u:
+                    # probes whether VPU bf16 multiply-add runs ahead of f32
+                    whp = ahy * _hat(u - px)
+                    w = jax.lax.dot_general(
+                        whp.astype(jnp.bfloat16), expand2.astype(jnp.bfloat16),
+                        dimension_numbers=(((2,), (0,)), ((), ())),
+                        preferred_element_type=jnp.bfloat16,
+                    )
+                    plane_idx, a8 = g.u_to_plane[u]
+                    view = slabs[plane_idx, phi_y, pl.ds(dy, tq), a8 : a8 + tw, :]
+                    acc_ref[...] = acc_ref[...] + (w * view).astype(jnp.float32)
+                    continue
                 if variant == "viewonly":
                     # no weight math at all: isolates DMA + view add + RMW
                     plane_idx, a8 = g.u_to_plane[u]
