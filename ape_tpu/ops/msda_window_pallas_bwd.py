@@ -355,9 +355,12 @@ def _grad_kernel_value(
 
     v_lo = bounds_ref[b, ty, tx, 2]
     v_hi = bounds_ref[b, ty, tx, 3]
-    u_lo = bounds_ref[b, ty, tx, 0]
-    u_hi = bounds_ref[b, ty, tx, 1]
 
+    # NOTE: the u loop here stays STATICALLY UNROLLED. Unlike the forward and
+    # the d_off/d_att kernel (dynamic loads only), this kernel WRITES at the
+    # u-dependent slab offset; a dynamic-offset sublane store lowers through a
+    # masked read-modify-write path that measured ~10x slower in the full
+    # train step (0.316 -> 3.69 s/step at 512²) despite skipping taps.
     def v_body(v, _):
         hy = _hat(v.astype(jnp.float32) - py)
         ahy = att * hy
@@ -367,9 +370,8 @@ def _grad_kernel_value(
         else:
             phi_y = 0
             dy = v
-
-        def u_body(u, _):
-            whp = ahy * _hat(u.astype(jnp.float32) - px)
+        for u in range(g.win):
+            whp = ahy * _hat(u - px)
             w = jax.lax.dot_general(
                 whp.astype(jnp.bfloat16), expand2,
                 dimension_numbers=(((2,), (0,)), ((), ())),
@@ -379,19 +381,10 @@ def _grad_kernel_value(
             if g.inv_y > 1:
                 # transpose of the forward's row repeat: sum query-row groups
                 contrib = contrib.reshape(rows_q, g.inv_y, tw, c).sum(axis=1)
-            if g.sx > 1:
-                plane_idx, a8 = u, 0
-            else:
-                ushift = u * g.inv_x
-                rem = jax.lax.rem(ushift, 8)
-                plane_idx = rem // g.inv_x
-                a8 = pl.multiple_of(ushift - rem, 8)
-            dslab[plane_idx, phi_y, pl.ds(dy, rows_q), pl.ds(a8, tw), :] = (
-                dslab[plane_idx, phi_y, pl.ds(dy, rows_q), pl.ds(a8, tw), :] + contrib
+            plane_idx, a8 = g.u_to_plane[u]
+            dslab[plane_idx, phi_y, pl.ds(dy, rows_q), a8 : a8 + tw, :] = (
+                dslab[plane_idx, phi_y, pl.ds(dy, rows_q), a8 : a8 + tw, :] + contrib
             )
-            return 0
-
-        jax.lax.fori_loop(u_lo, u_hi + 1, u_body, 0)
         return 0
 
     jax.lax.fori_loop(v_lo, v_hi + 1, v_body, 0)
