@@ -120,8 +120,9 @@ class Attention(nn.Module):
             )
 
             # default BlockSizes cost 1.43 ms at (1,3,4096,64) on v5e; 1024
-            # blocks bring it under 0.2 ms (experiments/backbone_fix_probe.py)
-            blk = min(1024, n)
+            # blocks bring it under 0.2 ms (experiments/backbone_fix_probe.py).
+            # block must divide n (use_flash guarantees n % 512 == 0)
+            blk = 1024 if n % 1024 == 0 else 512
             bs = BlockSizes(
                 block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
                 block_q_major_dkv=blk, block_k_major_dkv=blk,
