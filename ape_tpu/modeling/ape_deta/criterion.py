@@ -21,6 +21,7 @@ Targets are fixed-shape padded arrays:
 from __future__ import annotations
 
 import dataclasses
+import logging
 from typing import Dict, Optional, Sequence, Tuple
 
 import jax
@@ -68,6 +69,53 @@ class DeformableCriterion:
     use_fed_loss: bool = False
     fed_loss_num_classes: int = 50
     fed_loss_cls_weights: Optional[jnp.ndarray] = None  # (num_classes,)
+    # how to extend a count-table shorter than num_classes
+    # (deformable_criterion.py:107-139): max/max1000/mean/median pad with a
+    # scalar weight; "cat" pads weight 0 and ALWAYS includes the padded class
+    # range in the federated subset (:236-238 fed_loss_pad_classes).
+    fed_loss_pad_type: Optional[str] = None
+
+    def __post_init__(self):
+        self._fed_pad_start = None  # classes >= this are always kept ("cat")
+        w = self.fed_loss_cls_weights
+        if self.use_fed_loss and w is None:
+            logging.getLogger(__name__).warning(
+                "use_fed_loss=True but fed_loss_cls_weights is None: the "
+                "federated class mask is DISABLED and loss_labels degrades to "
+                "plain focal loss. Supply metadata.fed_loss_cls_weights(...)."
+            )
+            return
+        if w is None:
+            return
+        w = jnp.asarray(w, jnp.float32)
+        n = int(w.shape[0])
+        if n < self.num_classes:
+            pt = self.fed_loss_pad_type
+            if pt == "max":
+                pad = jnp.max(w)
+            elif pt == "max1000":
+                pad = jnp.max(w) * 1000.0
+            elif pt == "mean":
+                pad = jnp.mean(w)
+            elif pt == "median":
+                # torch.median = lower median, not the interpolated one
+                pad = jnp.sort(w)[(n - 1) // 2]
+            elif pt == "cat":
+                pad = jnp.asarray(0.0, jnp.float32)
+                self._fed_pad_start = n
+            else:
+                # reference default: kthvalue(num_classes * 7/10), 1-indexed
+                k = min(max(int(self.num_classes * 7.0 / 10), 1), n)
+                pad = jnp.sort(w)[k - 1]
+            w = jnp.concatenate(
+                [w, jnp.full((self.num_classes - n,), pad, jnp.float32)]
+            )
+        elif n > self.num_classes:
+            raise ValueError(
+                f"fed_loss_cls_weights has {n} entries > num_classes="
+                f"{self.num_classes}"
+            )
+        self.fed_loss_cls_weights = w
 
     # ------------------------------------------------------------------
     def loss_labels(self, outputs, targets, assign, num_boxes, class_valid, rng):
@@ -91,10 +139,20 @@ class DeformableCriterion:
         gt_classes = jnp.where(matched, cls, c)
         is_gt = jnp.zeros((c + 1,), bool).at[gt_classes.reshape(-1)].set(True)[:-1]
         w = jnp.clip(self.fed_loss_cls_weights.astype(jnp.float32), 1e-12)
+        if w.shape[0] < c:
+            # logits are a padded text tile wider than the vocabulary; padded
+            # columns are invalid slots (masked by class_valid) — give them
+            # negligible sampling weight
+            w = jnp.concatenate([w, jnp.full((c - w.shape[0],), 1e-12, jnp.float32)])
         gumbel = -jnp.log(-jnp.log(jax.random.uniform(rng, (c,), minval=1e-9, maxval=1.0)))
         score = jnp.where(is_gt, jnp.inf, jnp.log(w) + gumbel)
         kth = jax.lax.top_k(score, min(self.fed_loss_num_classes, c))[0][-1]
-        return is_gt | (score >= kth)
+        mask = is_gt | (score >= kth)
+        if self._fed_pad_start is not None:
+            # "cat" pad: the appended class range (e.g. stuff classes after the
+            # LVIS vocabulary) is always part of the federated subset
+            mask = mask | (jnp.arange(c) >= self._fed_pad_start)
+        return mask
 
     def loss_boxes(self, outputs, targets, assign, num_boxes, panoptic=False):
         pred = outputs["pred_boxes"]  # (B, K, 4)

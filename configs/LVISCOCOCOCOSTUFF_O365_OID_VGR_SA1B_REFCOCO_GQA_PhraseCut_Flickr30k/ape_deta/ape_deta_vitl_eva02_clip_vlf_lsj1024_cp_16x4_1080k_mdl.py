@@ -10,6 +10,7 @@ import os
 
 from ape_tpu.config import L, LazyConfig
 from ape_tpu.data.mapper import DatasetMapperDETR
+from ape_tpu.data.datasets.metadata import fed_loss_cls_weights
 
 _dir = os.path.dirname(__file__)
 _base = LazyConfig.load(os.path.join(_dir, "../../common/models/ape_deta.py"))
@@ -33,6 +34,11 @@ for _i, _nc in enumerate(_NUM_CLASSES):
         c.use_fed_loss = True
         c.fed_loss_num_classes = 50
         c.fed_loss_pad_type = "cat"
+        # count-table weights; "cat" pads LVIS 1203 -> 1256 with the stuff
+        # classes always kept in the federated subset
+        c.fed_loss_cls_weights = L(fed_loss_cls_weights)(
+            dataset="lvis_v1_train" if _i == 0 else "openimages_v6"
+        )
     if _i in (3, 6, 7, 8):  # region/phrase groups: no enc class loss (:134-160)
         c.weight_dict = dict(c.weight_dict)
         c.weight_dict["loss_class_enc"] = 0.0

@@ -3,7 +3,8 @@
 # configs/LVISCOCOCOCOSTUFF_.../ape_deta_vitl_eva02_clip_vlf_lsj1024_cp_16x4_1080k_mdl.py).
 import os
 
-from ape_tpu.config import LazyConfig
+from ape_tpu.config import L, LazyConfig
+from ape_tpu.data.datasets.metadata import fed_loss_cls_weights
 
 _dir = os.path.dirname(__file__)
 _base = LazyConfig.load(os.path.join(_dir, "../../common/models/ape_deta.py"))
@@ -21,6 +22,7 @@ criterion = _base.criterion
 criterion.num_classes = 1203
 criterion.use_fed_loss = True
 criterion.fed_loss_num_classes = 50
+criterion.fed_loss_cls_weights = L(fed_loss_cls_weights)(dataset="lvis_v1_train")
 
 language = dict(
     width=1024,

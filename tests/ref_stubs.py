@@ -60,12 +60,31 @@ def install_reference_stubs():
             self.out_channels = out_channels
             self.stride = stride
 
-    class Backbone(nn.Module):
-        pass
-
     class ShapeSpec:
         def __init__(self, **kw):
+            kw.setdefault("channels", None)
+            kw.setdefault("stride", None)
             self.__dict__.update(kw)
+
+    class Backbone(nn.Module):
+        """d2 Backbone API surface used by the ViT/SFP reference code."""
+
+        @property
+        def size_divisibility(self):
+            return getattr(self, "_size_divisibility", 0)
+
+        @property
+        def padding_constraints(self):
+            return {}
+
+        def output_shape(self):
+            return {
+                name: ShapeSpec(
+                    channels=self._out_feature_channels[name],
+                    stride=self._out_feature_strides[name],
+                )
+                for name in self._out_features
+            }
 
     d2 = types.ModuleType("detectron2")
     layers = types.ModuleType("detectron2.layers")
