@@ -118,8 +118,14 @@ def load_coco_panoptic(json_file: str, image_root: str, pan_seg_root: str):
         pan = json.load(f)
     images = {im["id"]: im for im in pan.get("images", [])}
     dicts = []
+    skipped = 0
     for ann in pan.get("annotations", []):
-        im = images.get(ann["image_id"], {})
+        im = images.get(ann["image_id"])
+        if im is None:
+            # a record with height/width None and a guessed file name only
+            # fails later with a cryptic mapper error — skip it loudly here
+            skipped += 1
+            continue
         fname = im.get("file_name", ann["file_name"].replace(".png", ".jpg"))
         dicts.append(
             {
@@ -130,6 +136,11 @@ def load_coco_panoptic(json_file: str, image_root: str, pan_seg_root: str):
                 "pan_seg_file_name": os.path.join(pan_seg_root, ann["file_name"]),
                 "segments_info": ann["segments_info"],
             }
+        )
+    if skipped:
+        logger.warning(
+            f"{json_file}: {skipped} annotations reference image_ids missing "
+            "from the images table; skipped"
         )
     logger.info(f"loaded {len(dicts)} panoptic images from {json_file}")
     return dicts

@@ -61,8 +61,14 @@ class APE:
         self.eval_dataset_id = 0 if self.metadata_list else -1
         self._text_cache: Dict[tuple, np.ndarray] = {}
 
+        # align_on_fused is static per prompt type: "name" prompts align
+        # against the ORIGINAL text features (VL fusion only updates vision,
+        # segm_vl.py:445-448), phrase/expression against the fused ones
         self._forward = jax.jit(
-            lambda p, img, sz, txt, tv: self.model.apply({"params": p}, img, sz, txt, tv)
+            lambda p, img, sz, txt, tv, fused: self.model.apply(
+                {"params": p}, img, sz, txt, tv, align_on_fused=fused
+            ),
+            static_argnums=(5,),
         )
         self._post_instance = jax.jit(
             lambda lo, bx, sz, cv: instance_inference(
@@ -108,9 +114,10 @@ class APE:
             np.asarray(jax.tree_util.tree_leaves(out)[0])[..., :1]
             return (time.perf_counter() - t0) / iters
 
-        full_t = timed(self._forward, self.params, images, sizes, txt, tvalid)
+        fused = self._prompt_type(inp) != "name"
+        full_t = timed(self._forward, self.params, images, sizes, txt, tvalid, fused)
         bb_t = timed(bb_apply, self.params, images)
-        out = self._forward(self.params, images, sizes, txt, tvalid)
+        out = self._forward(self.params, images, sizes, txt, tvalid, fused)
         post_t = timed(
             self._post_instance,
             out["pred_logits"][0], out["pred_boxes"][0], sizes[0], tvalid[0],
@@ -149,6 +156,17 @@ class APE:
         valid[:t] = True
         return jnp.asarray(out[None]), jnp.asarray(valid[None])
 
+    def _prompt_type(self, inp: Dict) -> str:
+        """name / phrase / expression for this input (segm_vl.py:177-234:
+        dataset prompt, or text_prompt with any multi-word entry -> phrase)."""
+        tp = inp.get("text_prompt")
+        if tp:
+            words = [w.strip() for w in tp.split(",") if w.strip()]
+            return "phrase" if any(" " in w for w in words) else "name"
+        if 0 <= self.eval_dataset_id < len(self.dataset_prompts):
+            return self.dataset_prompts[self.eval_dataset_id]
+        return "name"
+
     def vocabulary(self, text_prompt: Optional[str] = None) -> List[str]:
         if text_prompt:
             return [w.strip() for w in text_prompt.split(",") if w.strip()]
@@ -171,7 +189,10 @@ class APE:
             txt, tvalid = self._text_features(text_list)
             images = jnp.asarray(inp["image"][None])
             sizes = jnp.asarray(inp["image_size"][None])
-            out = self._forward(self.params, images, sizes, txt, tvalid)
+            out = self._forward(
+                self.params, images, sizes, txt, tvalid,
+                self._prompt_type(inp) != "name",
+            )
 
             res: Dict = {"image_id": inp.get("image_id", 0)}
             if self.instance_on:

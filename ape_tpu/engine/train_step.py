@@ -43,12 +43,16 @@ def make_train_step(
     tx: optax.GradientTransformation,
     ema_decay: float = 0.0,
     iter_size: int = 1,
+    prompt: str = "name",
 ):
     """Returns step_fn(state, batch, rng) -> (state, metrics).
 
     batch: images (B,H,W,3), image_sizes (B,2), text_features (B,T,Cl),
            text_valid (B,T), targets dict, optional class_valid (B,T).
     With iter_size > 1, the leading batch dim must be B = iter_size * micro.
+    prompt: this loader group's prompt type — "name" aligns class logits on the
+    original text features, phrase/expression on the VL-fused ones
+    (segm_vl.py:445-448); static per group, so per-group jitted steps differ.
     """
 
     def loss_fn(params, batch, rng):
@@ -59,6 +63,7 @@ def make_train_step(
             batch["text_features"],
             batch["text_valid"],
             deterministic=False,
+            align_on_fused=prompt != "name",
             rngs={"dropout": rng},
         )
         targets = batch["targets"]

@@ -111,8 +111,11 @@ class BiAttentionBlock(nn.Module):
             dtype=self.dtype,
             name="attn",
         )(vn, ln, valid_v, valid_l)
-        v = v + gamma_v.astype(dv.dtype) * dv
-        l = l + gamma_l.astype(dl.dtype) * dl
+        # reference quirk (fuse_helper.py:223-230): `v` is REBOUND to the
+        # normed value before the residual add, so the residual base is
+        # layer_norm(v), not the block input
+        v = vn + gamma_v.astype(dv.dtype) * dv
+        l = ln + gamma_l.astype(dl.dtype) * dl
         return v, l
 
 

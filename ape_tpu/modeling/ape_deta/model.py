@@ -106,7 +106,14 @@ class APEDeta(nn.Module):
         text_valid: jnp.ndarray,  # (B, T) bool
         mask_prompt: Optional[jnp.ndarray] = None,  # (B, H, W) bool
         deterministic: bool = True,
+        align_on_fused: bool = True,
     ) -> Dict[str, Any]:
+        # align_on_fused: which text features the class-align heads see. The
+        # reference keeps the ORIGINAL text for "name" prompts (fusion only
+        # updates vision tokens: deformable_detr_segm_vl.py:445-448
+        # `features_l = 1.0 * features_l + 0.0 * features_l_fusion`) and the
+        # FUSED text for phrase/expression prompts (:447). Callers pass
+        # align_on_fused=False for name prompts when vl_fusion is on.
         num_layers = self.transformer.decoder.num_layers
 
         if self.num_learned_classes:
@@ -169,6 +176,8 @@ class APEDeta(nn.Module):
         inter_states = tr_out["inter_states"]  # (layers, B, K, C)
         output_coords = tr_out["output_coords"]  # (layers, B, K, 4)
         fused_text = tr_out["text"] if tr_out["text"] is not None else text_features
+        if not align_on_fused:
+            fused_text = text_features
 
         # ---- mask pixel decoder (MaskDINO style) ----
         mask_features = None

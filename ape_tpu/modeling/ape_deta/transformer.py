@@ -535,8 +535,10 @@ class DeformableDetrTransformer(nn.Module):
         topk_coords_unact = jax.lax.stop_gradient(topk_coords_unact)
         init_reference = jax.nn.sigmoid(topk_coords_unact)
 
+        # num_pos_feats scales with the embed dim (4 coords * c/2 = 2c, the
+        # pos_trans fan-in; the reference hardcodes 128 for embed_dim 256)
         pos_trans = nn.Dense(2 * c, dtype=self.dtype, name="pos_trans")(
-            proposal_pos_embed(topk_coords_unact)
+            proposal_pos_embed(topk_coords_unact, num_pos_feats=c // 2)
         )
         pos_trans = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="pos_trans_norm")(pos_trans)
         query_pos, query = jnp.split(pos_trans, 2, axis=-1)

@@ -106,10 +106,15 @@ class Attention(nn.Module):
 
         # flash attention for long global blocks on TPU (replaces the reference's
         # xformers/SDPA paths, vit_eva02.py:270-286); einsum otherwise
+        # block must divide n; pick the largest lane-aligned divisor so sizes
+        # like 2304 (768^2 inputs) still take the fused path
+        flash_blk = next(
+            (bk for bk in (1024, 512, 384, 256, 128) if n % bk == 0), None
+        )
         use_flash = (
             jax.default_backend() == "tpu"
             and n >= 2048
-            and n % 512 == 0
+            and flash_blk is not None
             and head_dim in (32, 64, 128)
             and not self.use_rel_pos
         )
@@ -121,8 +126,7 @@ class Attention(nn.Module):
 
             # default BlockSizes cost 1.43 ms at (1,3,4096,64) on v5e; 1024
             # blocks bring it under 0.2 ms (experiments/backbone_fix_probe.py).
-            # block must divide n (use_flash guarantees n % 512 == 0)
-            blk = 1024 if n % 1024 == 0 else 512
+            blk = flash_blk
             bs = BlockSizes(
                 block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
                 block_q_major_dkv=blk, block_k_major_dkv=blk,
@@ -206,12 +210,17 @@ class Block(nn.Module):
     mlp_type: str = "swiglu"  # "swiglu" (EVA-02/CLIP) | "gelu" (EVA-01)
     use_rel_pos: bool = False
     drop_path: float = 0.0
+    # postnorm (EVA-CLIP ViT-E, vit_eva_clip.py:485-505): norm AFTER the
+    # sublayer — x + drop_path(norm1(attn(x))), x + drop_path(norm2(mlp(x)))
+    postnorm: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, rope_cos, rope_sin, deterministic: bool = True):
         shortcut = x
-        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        y = x if self.postnorm else nn.LayerNorm(
+            epsilon=1e-6, dtype=self.dtype, name="norm1"
+        )(x)
         if self.window_size > 0:
             h, w = y.shape[1], y.shape[2]
             y, pad_hw = window_partition(y, self.window_size)
@@ -226,9 +235,13 @@ class Block(nn.Module):
         )(y, rope_cos, rope_sin)
         if self.window_size > 0:
             y = window_unpartition(y, self.window_size, pad_hw, (h, w))
+        if self.postnorm:
+            y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(y)
         x = shortcut + DropPath(self.drop_path, name="drop_path1")(y, deterministic)
 
-        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        y = x if self.postnorm else nn.LayerNorm(
+            epsilon=1e-6, dtype=self.dtype, name="norm2"
+        )(x)
         if self.mlp_type == "gelu":
             y = Mlp(
                 hidden_dim=self.mlp_hidden_dim, out_dim=self.dim,
@@ -243,6 +256,8 @@ class Block(nn.Module):
                 dtype=self.dtype,
                 name="mlp",
             )(y)
+        if self.postnorm:
+            y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(y)
         return x + DropPath(self.drop_path, name="drop_path2")(y, deterministic)
 
 
@@ -297,6 +312,7 @@ class EVAViT(nn.Module):
     swiglu_subln: bool = False  # ffn_ln inside SwiGLU (naiveswiglu)
     mlp_type: str = "swiglu"  # "gelu" = EVA-01 plain MLP
     use_rel_pos: bool = False  # EVA-01 decomposed relative positions
+    postnorm: bool = False  # EVA-CLIP ViT-E post-sublayer norms
     drop_path_rate: float = 0.0
     dtype: Dtype = jnp.float32
 
@@ -342,6 +358,7 @@ class EVAViT(nn.Module):
                 swiglu_subln=self.swiglu_subln,
                 mlp_type=self.mlp_type,
                 use_rel_pos=self.use_rel_pos,
+                postnorm=self.postnorm,
                 drop_path=dpr[i],
                 dtype=self.dtype,
                 name=f"blocks_{i}",

@@ -103,7 +103,7 @@ def build_transformer(
             feedforward_dim=2048,
             num_layers=num_layers,
             num_feature_levels=5,
-            look_forward_twice=True,
+            look_forward_twice=False,  # reference default; no config ever enables it
             use_act_checkpoint=use_act_checkpoint,
             dtype=dtype,
         ),

@@ -6,7 +6,9 @@ tests/test_msda_pallas.py):
     compile, fast on CPU; the gradient reference.
   * XLA window shift-FMA (ops/msda_window.py) — the semantic oracle; its
     (2R+3)^2 x pairs unrolling is too heavy to compile/run in production.
-  * Pallas kernel (ops/msda_window_pallas.py) — the TPU production forward.
+  * Pallas kernel (ops/msda_window_pallas_v2.py, pre-shifted planes) — the TPU
+    production forward. Superseded variants (v1/v3, and the losing fused-v5
+    experiment behind APE_MSDA_FUSED) live in experiments/.
 
 Training on TPU uses custom_vjp: Pallas forward + Pallas backward kernels
 (ops/msda_window_pallas_bwd — same pre-shifted-plane structure as the forward;
@@ -19,6 +21,7 @@ clipped offsets).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Sequence, Tuple
 
 import jax
@@ -26,6 +29,10 @@ import jax.numpy as jnp
 
 from ape_tpu.ops.msda import ms_deform_attn
 from ape_tpu.ops.msda_window import pixel_offsets_to_locations
+
+# read once at import like the v2 kernel knobs (USKIP/DBUF/VMEM_BUDGET): JAX
+# caches traces, so a mid-process flip would silently keep the old kernel
+_USE_FUSED_V5 = os.environ.get("APE_MSDA_FUSED", "0") != "0"
 
 
 def _exact_equiv(value, spatial_shapes, pixel_offsets, attention_weights, radius):
@@ -36,10 +43,8 @@ def _exact_equiv(value, spatial_shapes, pixel_offsets, attention_weights, radius
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4))
 def _window_pallas_with_exact_grad(value, spatial_shapes, pixel_offsets, attention_weights, radius):
-    import os
-
-    if os.environ.get("APE_MSDA_FUSED", "0") != "0":
-        from ape_tpu.ops.msda_window_pallas_v5 import ms_deform_attn_window_pallas_v5
+    if _USE_FUSED_V5:
+        from experiments.msda_window_pallas_v5 import ms_deform_attn_window_pallas_v5
 
         return ms_deform_attn_window_pallas_v5(
             value, spatial_shapes, pixel_offsets, attention_weights, radius

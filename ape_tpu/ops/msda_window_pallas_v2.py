@@ -366,8 +366,8 @@ def _pair_kernel_v2(
 
 
 def _choose_tiles(g: _PairGeom, c: int, plane_bytes: int, budget=None, dbuf=False):
-    budget = budget or VMEM_BUDGET
     """Pick (tq, tw) so the slab stack + accumulator fit VMEM."""
+    budget = budget or VMEM_BUDGET
     n_planes = len(g.planes)
     n_slots = 2 if dbuf else 1
 

@@ -1,0 +1,36 @@
+# Roboflow-100 suite eval on the APE-Ti model (reference
+# configs/Roboflow_Detection/ape_deta/ape_deta_vitt_eva02_vlf_lsj1024.py).
+import os
+
+from ape_tpu.config import L, LazyConfig
+from ape_tpu.data.catalog import DatasetCatalog
+from ape_tpu.data.mapper import DatasetMapperDETR
+
+_dir = os.path.dirname(__file__)
+_base = LazyConfig.load(
+    os.path.join(
+        _dir,
+        "../../COCO_InstanceSegmentation/ape_deta/ape_deta_vitt_eva02_lsj1024_12ep.py",
+    )
+)
+model = _base.model
+criterion = _base.criterion
+optimizer = _base.optimizer
+language = _base.get("language", dict(output_dim=1024))
+train = _base.train
+train.output_dir = "./output/eval_roboflow_detection_vitt"
+
+_rf_names = [n for n in DatasetCatalog.list() if n.startswith("rf100_")]
+
+dataloader = dict(
+    train=dict(dataset_names=[], mapper=None, batch_size=1),
+    tests=[
+        dict(
+            dataset_name=n,
+            mapper=L(DatasetMapperDETR)(is_train=False, image_size=1024),
+            evaluator_type="coco",
+            suite="rf100",
+        )
+        for n in _rf_names
+    ],
+)

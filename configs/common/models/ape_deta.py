@@ -31,7 +31,7 @@ model = L(APEDeta)(
             feedforward_dim=2048,
             num_layers=6,
             num_feature_levels=5,
-            look_forward_twice=True,
+            look_forward_twice=False,  # reference default; no config ever enables it
         ),
         num_feature_levels=5,
         two_stage_num_proposals="${..num_queries}",

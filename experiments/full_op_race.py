@@ -61,10 +61,10 @@ if __name__ == "__main__":
 
         print(f"v2 (25 pair kernels): {time_op(ms_deform_attn_window_pallas_v2)*1e3:7.2f} ms/layer", flush=True)
     if which in ("v3", "both"):
-        from ape_tpu.ops.msda_window_pallas_v3 import ms_deform_attn_window_pallas_v3
+        from experiments.msda_window_pallas_v3 import ms_deform_attn_window_pallas_v3
 
         print(f"v3 (fused rows)     : {time_op(ms_deform_attn_window_pallas_v3)*1e3:7.2f} ms/layer", flush=True)
     if which in ("v5", "both"):
-        from ape_tpu.ops.msda_window_pallas_v5 import ms_deform_attn_window_pallas_v5
+        from experiments.msda_window_pallas_v5 import ms_deform_attn_window_pallas_v5
 
         print(f"v5 (fused vlevels)  : {time_op(ms_deform_attn_window_pallas_v5)*1e3:7.2f} ms/layer", flush=True)

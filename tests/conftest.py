@@ -23,6 +23,17 @@ except Exception:
 assert jax.default_backend() == "cpu"
 assert len(jax.devices()) == 8, jax.devices()
 
+# Persistent XLA compilation cache: the slow tier is compile-bound (the
+# multi-dataset train e2e alone spent ~5 min of CPU-mesh compiles in round 2);
+# cached executables make repeat runs of `-m slow` minutes faster.
+_cache_dir = os.environ.get(
+    "APE_XLA_CACHE", os.path.expanduser("~/.cache/ape_tpu_xla")
+)
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np
 import pytest
 

@@ -51,6 +51,8 @@ def install_reference_stubs():
             return None
         if norm == "LN":
             return LayerNormCF(out_channels)
+        if norm == "GN":
+            return nn.GroupNorm(32, out_channels)
         raise NotImplementedError(norm)
 
     class CNNBlockBase(nn.Module):

@@ -367,7 +367,7 @@ def install_detrex_stubs():
 
     class ChannelMapper(nn.Module):
         def __init__(self, input_shapes, in_features, out_channels,
-                     kernel_size=3, bias=False, norm_layer=None, activation=None,
+                     kernel_size=3, bias=True, norm_layer=None, activation=None,
                      num_outs=None, **kwargs):
             super().__init__()
             import copy as _copy

@@ -75,6 +75,55 @@ def test_eva02_vit_parity():
     assert diff < 2e-4 * max(scale, 1.0), (diff, scale)
 
 
+@pytest.mark.parametrize("postnorm", [False, True])
+def test_eva_clip_vit_parity(postnorm):
+    """EVA-CLIP flavor (subln separate q/k/v + inner_attn_ln + naiveswiglu),
+    with and without the ViT-E `postnorm` block layout
+    (vit_eva_clip.py:485-505; round-2 verdict missing #7)."""
+    torch = pytest.importorskip("torch")
+    mod = load_reference_module("vit_eva_clip.py", "vit_eva_clip")
+
+    torch.manual_seed(0)
+    img, embed, depth, heads, win = 32, 64, 2, 2, 2
+    ref = mod.ViT(
+        img_size=img, patch_size=16, embed_dim=embed, depth=depth,
+        num_heads=heads, mlp_ratio=4 * 2 / 3, qkv_bias=True,
+        drop_path_rate=0.0, window_size=win, window_block_indexes=(0,),
+        use_act_checkpoint=False, pretrain_img_size=32, pt_hw_seq_len=2,
+        rope=True, naiveswiglu=True, subln=True, postnorm=postnorm,
+        xattn=False, out_feature="last_feat",
+    ).eval()
+    sd = {f"backbone.net.{k}": v.detach().numpy() for k, v in ref.state_dict().items()
+          if "rope" not in k and "freqs" not in k}
+
+    import jax
+    import jax.numpy as jnp
+
+    from ape_tpu.checkpoint.convert import convert_torch_state_dict, flatten_tree, unflatten_tree
+    from ape_tpu.modeling.backbone.eva_vit import EVAViT
+
+    ours = EVAViT(
+        img_size=img, patch_size=16, embed_dim=embed, depth=depth,
+        num_heads=heads, mlp_ratio=4 * 2 / 3, window_size=win,
+        window_block_indexes=(0,), pretrain_img_size=32, pt_hw_seq_len=2,
+        subln=True, inner_attn_ln=True, swiglu_subln=True, postnorm=postnorm,
+    )
+    x = np.random.RandomState(4).randn(1, img, img, 3).astype(np.float32)
+    template = ours.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    flat = convert_torch_state_dict(sd)
+    flat = {k.removeprefix("backbone/net/"): v for k, v in flat.items() if k.startswith("backbone/net/")}
+    tflat = flatten_tree(template)
+    missing = sorted(k for k in tflat if k not in flat)
+    assert not missing, f"unconverted: {missing}"
+    params = unflatten_tree({k: v for k, v in flat.items() if k in tflat})
+
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x).permute(0, 3, 1, 2))["last_feat"].numpy()
+    got = np.transpose(np.asarray(ours.apply({"params": params}, jnp.asarray(x))), (0, 3, 1, 2))
+    scale = np.abs(ref_out).max()
+    assert np.abs(got - ref_out).max() < 2e-4 * max(scale, 1.0)
+
+
 def test_eva01_vit_parity():
     """EVA-01 flavor: plain MLP + decomposed rel-pos + beit-like qkv bias."""
     torch = pytest.importorskip("torch")

@@ -10,7 +10,7 @@ import pytest
 import jax.numpy as jnp
 
 from ape_tpu.ops.msda_window import ms_deform_attn_window
-from ape_tpu.ops.msda_window_pallas import ms_deform_attn_window_pallas
+from experiments.msda_window_pallas_v1 import ms_deform_attn_window_pallas
 
 
 def make_inputs(rng, b=1, heads=2, d=8, spatial_shapes=((16, 16), (8, 8), (4, 4)), p=2, max_off=3.0):

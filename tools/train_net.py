@@ -207,8 +207,10 @@ def do_train(args, cfg):
     if len(loaders) > 1:
         mds = MultiDatasetSampler(ratio, seed=int(train.get("seed", 0)))
 
+    dataset_prompts = list(train.get("dataset_prompts", []) or [])
+
     @functools.lru_cache(maxsize=None)
-    def _step_fn_for_crit(crit_idx: int):
+    def _step_fn_for(crit_idx: int, prompt: str):
         return jax.jit(
             make_train_step(
                 model,
@@ -216,13 +218,15 @@ def do_train(args, cfg):
                 tx,
                 ema_decay=train.get("ema_decay", 0.0),
                 iter_size=iter_size,
+                prompt=prompt,
             ),
             donate_argnums=(0,),
         )
 
     def step_fn_for(ds_id: int):
-        # groups sharing one criterion share one compiled step
-        return _step_fn_for_crit(min(ds_id, len(criterions) - 1))
+        # groups sharing one (criterion, prompt-type) share one compiled step
+        prompt = dataset_prompts[ds_id] if ds_id < len(dataset_prompts) else "name"
+        return _step_fn_for(min(ds_id, len(criterions) - 1), prompt)
 
     eval_fn = None
     if train.get("eval_period", 0) and cfg.dataloader.get("tests", []):
@@ -323,6 +327,11 @@ def do_test(args, cfg):
         from ape_tpu.checkpoint.convert import load_params_tolerant
 
         params = load_params_tolerant(init, params)
+    else:
+        logger.warning(
+            "eval-only with NO init_checkpoint: model AND text tower are "
+            "random-init — metrics are smoke-test noise, not a real evaluation"
+        )
     return run_eval(cfg, model, params)
 
 
