@@ -7,6 +7,7 @@ import os
 import subprocess
 import sys
 
+import numpy as np
 import pytest
 
 pytestmark = pytest.mark.slow
@@ -61,7 +62,7 @@ _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 """
 
 
-def _run_two_procs(code, timeout=540):
+def _run_two_procs(code, timeout=1500):
     # persistent XLA cache: both processes compile identical executables, and
     # this host has ONE core — cold runs are compile-bound, warm runs are fast
     code = code.replace("%CACHE%", _CACHE_PRELUDE)
@@ -150,13 +151,16 @@ model = APEDeta(
     transformer=DeformableDetrTransformer(
         encoder=DeformableTransformerEncoder(
             embed_dim=64, num_heads=4, feedforward_dim=64, num_layers=1,
-            num_feature_levels=5, window_radius=2),
+            num_feature_levels=3, window_radius=2),
         decoder=DeformableTransformerDecoder(
             embed_dim=64, num_heads=4, feedforward_dim=64, num_layers=1,
-            num_feature_levels=5),
-        num_feature_levels=5, two_stage_num_proposals=10,
+            num_feature_levels=3),
+        num_feature_levels=3, two_stage_num_proposals=10,
     ),
     embed_dim=64, embed_dim_language=16, num_queries=10,
+    # 3 levels + no mask head: the FULL model compiles ~2x on this 1-core
+    # host (one per process) — keep the graph small enough for a cold run
+    in_features=("p2", "p3", "p4"), mask_on=False,
 )
 
 # per-host loader shard: each process materializes ONLY its slice of the
@@ -172,13 +176,20 @@ full = {
         "labels": rng.randint(0, 4, (GB, 3)).astype(np.int32),
         "boxes": (rng.rand(GB, 3, 4) * 0.4 + 0.2).astype(np.float32),
         "valid": np.ones((GB, 3), bool),
-        "masks": (rng.rand(GB, 3, 16, 16) > 0.6).astype(np.float32),
     },
 }
 sl = local_batch_slice(GB)
 local = jax.tree.map(lambda x: x[sl], full)
 
 mesh = make_mesh()
+
+
+def barrier(name):
+    # coordination-service barrier (TCP, long timeout) — NOT a Gloo collective:
+    # compile skew between the two 1-core processes is minutes, far beyond
+    # Gloo's 30 s context-init rendezvous deadline
+    from jax._src.distributed import global_state
+    global_state.client.wait_at_barrier(name, timeout_in_ms=900000)
 params = model.init(
     jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
     jnp.asarray([[64, 64]], jnp.int32), jnp.zeros((1, 4, 16)),
@@ -189,20 +200,30 @@ with mesh:
     params = jax.device_put(params, param_sharding(mesh, params, min_size=2**30))
     state = create_train_state(params, tx)
     crit = DeformableCriterion(num_classes=4, weight_dict=default_weight_dict(),
-                               num_queries=10)
+                               num_queries=10, losses=("class", "boxes"))
     step = jax.jit(make_train_step(model, crit, tx), donate_argnums=(0,))
+    batch = shard_batch(mesh, local)
+    # AOT-compile (local, no collectives), THEN align: the first Gloo
+    # rendezvous happens at execution, with both processes in lockstep
+    compiled = step.lower(state, batch, jax.random.PRNGKey(0)).compile()
+    barrier("compiled")
     losses = []
     for it in range(2):
         batch = shard_batch(mesh, local)
-        state, metrics = step(state, batch, jax.random.PRNGKey(it))
+        state, metrics = compiled(state, batch, jax.random.PRNGKey(it))
         losses.append(float(metrics["total_loss"]))
 
-# process-0-only checkpoint writer (reference PeriodicCheckpointer rank0)
+# single-write checkpoint (reference: rank-0 PeriodicCheckpointer). orbax is
+# multihost-aware: EVERY process must enter save() (it barriers internally —
+# a rank-0-only call deadlocks), and the primary host does the actual write.
 ckpt_dir = %CKPT%
-if is_main_process():
-    ck = Checkpointer(ckpt_dir, keep=1)
-    ck.save(2, {"params": jax.tree.map(np.asarray, state.params)})
+ck = Checkpointer(ckpt_dir, keep=1)
+ck.save(2, {"params": jax.tree.map(np.asarray, state.params)})
+ck._mgr.wait_until_finished()
 print(f"proc {pid} LOSSES {losses[0]:.6f} {losses[1]:.6f}", flush=True)
+# rank 0 exits late (checkpoint finalize); re-align before interpreter exit or
+# the coordination-service shutdown barrier trips on the early process
+barrier("done")
 """
 
 
