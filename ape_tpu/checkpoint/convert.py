@@ -35,7 +35,13 @@ def _t_conv(w):
 
 
 def _t_convT(w):
-    return np.ascontiguousarray(np.transpose(np.asarray(w), (2, 3, 0, 1)))
+    # torch ConvTranspose2d (in, out, kH, kW) -> flax ConvTranspose
+    # (kH, kW, in, out) with a SPATIAL FLIP: flax lowers through
+    # lax.conv_transpose(transpose_kernel=False), which correlates the kernel
+    # as-is, while torch's transposed conv scatters it unflipped — verified by
+    # direct A/B (the full-model parity harness caught p2/p3 diverging while
+    # the deconv-free p4/p5/p6 matched at 1e-6)
+    return np.ascontiguousarray(np.transpose(np.asarray(w), (2, 3, 0, 1))[::-1, ::-1])
 
 
 def flatten_tree(tree: Dict, prefix: str = "") -> Dict[str, Any]:

@@ -166,7 +166,12 @@ def deta_first_stage_select(
     q_per_l = topk // num_levels
 
     def one(logit, bx_unact, valid):
-        score = jnp.where(valid, jax.nn.sigmoid(logit), NEG_INF)
+        # NO validity masking: the reference ranks by raw sigmoid scores
+        # (deformable_transformer_vl.py:586-590), so invalid proposals (class
+        # head on zeroed memory -> sigmoid(bias) ~= 0.01, box saturated at the
+        # full-image corner) COMPETE with low-scoring valid ones — and fill
+        # slots when a padded image leaves too few valid candidates
+        score = jax.nn.sigmoid(logit)
         boxes = jnp.clip(box_cxcywh_to_xyxy(jax.nn.sigmoid(bx_unact)), 0.0, 1.0)
 
         # per-level pre-NMS top-k, COMPACTED: the sequential greedy NMS must run
@@ -180,10 +185,9 @@ def deta_first_stage_select(
         cand_idx = jnp.concatenate(cand_idx)  # (C,) global indices
         c_boxes = boxes[cand_idx]
         c_score = score[cand_idx]
-        c_valid = valid[cand_idx]
         c_level = level_ids[cand_idx]
 
-        kept = batched_nms_mask(c_boxes, c_score, c_level, nms_thresh, valid=c_valid)
+        kept = batched_nms_mask(c_boxes, c_score, c_level, nms_thresh)
 
         # level-balanced selection among kept, by score order
         order = jnp.argsort(-jnp.where(kept, c_score, NEG_INF))
@@ -199,9 +203,8 @@ def deta_first_stage_select(
         prio = (
             balanced.astype(jnp.float32) * 4.0
             + kept.astype(jnp.float32) * 2.0
-            + jax.nn.sigmoid(jnp.where(c_valid, logit[cand_idx], NEG_INF))
+            + c_score
         )
-        prio = jnp.where(c_valid, prio, NEG_INF)
         _, sel_c = jax.lax.top_k(prio, topk)
         return cand_idx[sel_c]
 
@@ -505,14 +508,17 @@ class DeformableDetrTransformer(nn.Module):
         )
 
         assert enc_class_head is not None, "two-stage requires the binary head"
+        # UNMASKED, like the reference: invalid proposals get the class head of
+        # zeroed memory (= its bias, sigmoid ~0.01) and participate in the
+        # first-stage select; validity flows separately to the criterion
         enc_logits = enc_class_head(out_memory)[..., 0]  # (B, S)
-        enc_logits = jnp.where(proposal_valid, enc_logits, NEG_INF)
         enc_coords_unact = self.decoder.enc_bbox_head(out_memory) + jnp.where(
             proposal_valid[..., None], proposals_unact, 0.0
         )
-        # keep invalid proposals inert (reference sets them to +inf)
+        # invalid proposals: the reference's +inf anchor saturates the sigmoid
+        # to exactly 1.0 — 30.0 does the same in fp32 without inf arithmetic
         enc_coords_unact = jnp.where(
-            proposal_valid[..., None], enc_coords_unact, 10.0
+            proposal_valid[..., None], enc_coords_unact, 30.0
         )
 
         topk = self.two_stage_num_proposals

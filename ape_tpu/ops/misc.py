@@ -5,9 +5,12 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def inverse_sigmoid(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+def inverse_sigmoid(x: jnp.ndarray, eps: float = 1e-3) -> jnp.ndarray:
     """Numerically-stable logit; the DETR box-refinement workhorse
-    (reference capability: detrex utils + ape_deta transformers)."""
+    (reference capability: detrex utils.inverse_sigmoid, DINO-style
+    eps=1e-3 — the eps is load-bearing for parity on saturated references:
+    the full-model harness caught 1e-3-scale box drift from eps=1e-5 when
+    padded images put degenerate proposals among the selected queries)."""
     x = jnp.clip(x, 0.0, 1.0)
     x1 = jnp.clip(x, eps, None)
     x2 = jnp.clip(1.0 - x, eps, None)

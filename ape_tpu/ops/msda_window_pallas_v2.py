@@ -71,6 +71,14 @@ DBUF = os.environ.get("APE_MSDA_DBUF", "1") != "0"
 # whole window is active (earlier per-u predication measured +1.7 ms there).
 USKIP = os.environ.get("APE_MSDA_USKIP", "1") != "0"
 
+# Pre-expand coarser-value rows ONCE per tile into a VMEM scratch instead of
+# broadcasting inside every (v, u) tap. The per-tap broadcast materialized a
+# (tq, tw, C) temporary per unrolled u (no stack-slot sharing) — the reason
+# inv>=4 pairs were clamped to tq*tw <= 1024 tiles and ran at ~6 ms each.
+# With the expansion hoisted, the tap body is a plain slice (identical to the
+# same-res path) and expanded pairs take full-size tiles. 0 disables (A/B).
+YEXP = os.environ.get("APE_MSDA_YEXP", "1") != "0"
+
 
 class _PairGeom:
     """Static geometry of one (query grid, value grid) pair."""
@@ -181,16 +189,22 @@ def _pair_kernel_v2(
     chained=False,
     dbuf=False,
     uskip=False,
+    yexp=False,
 ):
     # Cross-pair accumulation: when `chained`, the previous pairs' partial sum
     # for this query level streams in as an input block ALIASED to the output
     # buffer, and the kernel adds onto it — the XLA-side partial adds (read
     # prev + read part + write, ~3x the output bytes per pair) disappear.
     if chained:
-        acc_in_ref, out_ref, slabs, acc_ref, sems = rest_refs
+        acc_in_ref, out_ref, *scratches = rest_refs
     else:
         acc_in_ref = None
-        out_ref, slabs, acc_ref, sems = rest_refs
+        out_ref, *scratches = rest_refs
+    if yexp:
+        slabs, acc_ref, exp_ref, sems = scratches
+    else:
+        slabs, acc_ref, sems = scratches
+        exp_ref = None
     b = pl.program_id(0)
     ty = pl.program_id(1)
     tx = pl.program_id(2)
@@ -291,6 +305,15 @@ def _pair_kernel_v2(
     for cp in copies:
         cp.wait()
 
+    if yexp:
+        # one row-expansion per plane per tile (replaces a broadcast per tap)
+        n_src_rows = tile_rows
+        for p_i in range(n_planes):
+            src = cur_slab[p_i, 0]  # (tile_rows, slab_w, C); sy == 1 here
+            exp_ref[p_i] = jnp.broadcast_to(
+                src[:, None], (n_src_rows, g.inv_y, src.shape[1], src.shape[2])
+            ).reshape(n_src_rows * g.inv_y, src.shape[1], src.shape[2])
+
     if acc_in_ref is not None:
         acc_ref[...] = acc_in_ref[0].astype(jnp.float32)
     else:
@@ -329,12 +352,17 @@ def _pair_kernel_v2(
                 dimension_numbers=(((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (tq, tw, C)
-            view = cur_slab[plane_idx, phi_y, pl.ds(dy, rows_q), pl.ds(a8, tw), :]
-            if g.inv_y > 1:
-                # row element-repeat via broadcast+merge of two free dims
-                view = jnp.broadcast_to(
-                    view[:, None], (rows_q, g.inv_y, tw, view.shape[-1])
-                ).reshape(rows_q * g.inv_y, tw, view.shape[-1])
+            if yexp:
+                # expanded rows: query row qy of tap v reads expanded row
+                # qy + v*inv_y (exact: (ts+qy+v*inv_y)//inv_y == value row)
+                view = exp_ref[plane_idx, pl.ds(dy * g.inv_y, tq), pl.ds(a8, tw), :]
+            else:
+                view = cur_slab[plane_idx, phi_y, pl.ds(dy, rows_q), pl.ds(a8, tw), :]
+                if g.inv_y > 1:
+                    # row element-repeat via broadcast+merge of two free dims
+                    view = jnp.broadcast_to(
+                        view[:, None], (rows_q, g.inv_y, tw, view.shape[-1])
+                    ).reshape(rows_q * g.inv_y, tw, view.shape[-1])
             acc_ref[...] = acc_ref[...] + w * view.astype(jnp.float32)
 
         if uskip:
@@ -365,7 +393,8 @@ def _pair_kernel_v2(
     out_ref[0] = acc_ref[...].astype(out_ref.dtype)
 
 
-def _choose_tiles(g: _PairGeom, c: int, plane_bytes: int, budget=None, dbuf=False):
+def _choose_tiles(g: _PairGeom, c: int, plane_bytes: int, budget=None, dbuf=False,
+                  yexp=False):
     """Pick (tq, tw) so the slab stack + accumulator fit VMEM."""
     budget = budget or VMEM_BUDGET
     n_planes = len(g.planes)
@@ -376,6 +405,13 @@ def _choose_tiles(g: _PairGeom, c: int, plane_bytes: int, budget=None, dbuf=Fals
         slab_w = tw + g.max_a8
         return n_slots * n_planes * g.sy * (rows_q + g.halo_y) * slab_w * c * plane_bytes
 
+    def exp_bytes(tq, tw):
+        if not yexp:
+            return 0
+        rows_q = tq // g.inv_y
+        slab_w = tw + g.max_a8
+        return n_planes * (rows_q + g.halo_y) * g.inv_y * slab_w * c * plane_bytes
+
     def total(tq, tw):
         acc = tq * tw * c * 4
         # pipeline buffers: off/att/ acc_in inputs + out, each double-buffered
@@ -383,7 +419,7 @@ def _choose_tiles(g: _PairGeom, c: int, plane_bytes: int, budget=None, dbuf=Fals
         hx = g.win * tq * tw * 32 * 2  # hoisted bf16 x-hat temporaries
         stack = tq * tw * c * 4  # Mosaic stack temporaries (w per tap)
         reserve = 512 * 1024  # alignment pad + semaphores + iota/expand consts
-        return slab_bytes(tq, tw) + acc + blocks + hx + stack + reserve
+        return slab_bytes(tq, tw) + exp_bytes(tq, tw) + acc + blocks + hx + stack + reserve
 
     tq = min(32, g.hq)
     while g.hq % tq:
@@ -392,9 +428,10 @@ def _choose_tiles(g: _PairGeom, c: int, plane_bytes: int, budget=None, dbuf=Fals
     while g.wq % tw:
         tw //= 2
     min_tq = max(1, g.inv_y)
-    # Mosaic's per-u unrolled temporaries blow scoped VMEM on strongly
-    # expanded tiles (measured: inv>=4 compiles at tq*tw<=1024, fails at 2048)
-    if max(g.inv_y, g.inv_x) >= 4:
+    # Without the hoisted expansion, Mosaic's per-u unrolled broadcast
+    # temporaries blow scoped VMEM on strongly expanded tiles (measured:
+    # inv>=4 compiles at tq*tw<=1024, fails at 2048). yexp removes them.
+    if max(g.inv_y, g.inv_x) >= 4 and not yexp:
         while tq * tw > 1024 and tw > 8 and g.wq % (tw // 2) == 0 and (tw // 2) % 8 == 0:
             tw //= 2
         while tq * tw > 1024 and tq > min_tq and (tq // 2) % min_tq == 0 and g.hq % (tq // 2) == 0:
@@ -461,9 +498,10 @@ def _run_pair_v2(
     c = heads * head_dim
     g = _PairGeom(hq, wq, hv, wv, radius)
 
+    yexp = YEXP and g.inv_y > 1 and g.sy == 1
     planes = _prep_planes(v_l.reshape(b, hv, wv, c), g, plane_dtype)
     tq, tw = tile_override or _choose_tiles(
-        g, c, np.dtype(plane_dtype).itemsize, dbuf=DBUF
+        g, c, np.dtype(plane_dtype).itemsize, dbuf=DBUF, yexp=yexp
     )
     rows_q = tq if g.sy > 1 else tq // g.inv_y
     tile_rows = rows_q + g.halo_y
@@ -496,6 +534,7 @@ def _run_pair_v2(
         chained=acc_in is not None,
         dbuf=DBUF,
         uskip=USKIP,
+        yexp=yexp,
     )
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -526,6 +565,13 @@ def _run_pair_v2(
                 plane_dtype,
             ),
             pltpu.VMEM((tq, tw, c), jnp.float32),
+        ]
+        + (
+            [pltpu.VMEM((len(g.planes), tile_rows * g.inv_y, slab_w, c), plane_dtype)]
+            if yexp
+            else []
+        )
+        + [
             pltpu.SemaphoreType.DMA(((2,) if DBUF else ()) + (len(g.planes),)),
         ],
         interpret=interpret,

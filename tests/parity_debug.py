@@ -15,6 +15,16 @@ import numpy as np
 def _enable_xla_cache():
     import jax
 
+    # sitecustomize force-initializes the axon TPU backend; re-point at CPU
+    # (same dance as tests/conftest.py) — strict fp32 parity needs CPU math
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    jax.config.update("jax_platforms", "cpu")
+    try:
+        jax._src.xla_bridge._clear_backends()
+    except Exception:
+        pass
+    assert jax.default_backend() == "cpu", jax.default_backend()
+
     d = os.path.expanduser("~/.cache/ape_tpu_xla")
     os.makedirs(d, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", d)
@@ -22,7 +32,7 @@ def _enable_xla_cache():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
-def main(vl_fusion=False):
+def main(vl_fusion=False, padded=False):
     import torch
 
     from tests.parity_harness import (
@@ -34,7 +44,7 @@ def main(vl_fusion=False):
     )
 
     model, text = build_ref_model(vl_fusion=vl_fusion)
-    img, ours_img, sizes = make_image()
+    img, ours_img, sizes = make_image(w=192 if padded else None)
 
     # ---- torch side with hooks ----
     rec = {}
@@ -69,7 +79,8 @@ def main(vl_fusion=False):
     params = ours.init(jax.random.PRNGKey(0), *args)["params"]
     conv = convert_ref_to_ours(model, params)
     out, state = ours.apply(
-        {"params": conv}, *args, capture_intermediates=True, mutable=["intermediates"]
+        {"params": conv}, *args, align_on_fused=False,
+        capture_intermediates=True, mutable=["intermediates"]
     )
     inter = state["intermediates"]
 
@@ -122,4 +133,4 @@ def main(vl_fusion=False):
 
 
 if __name__ == "__main__":
-    main(vl_fusion="--fusion" in sys.argv)
+    main(vl_fusion="--fusion" in sys.argv, padded="--padded" in sys.argv)
