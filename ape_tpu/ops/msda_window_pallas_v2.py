@@ -77,7 +77,7 @@ USKIP = os.environ.get("APE_MSDA_USKIP", "1") != "0"
 # inv>=4 pairs were clamped to tq*tw <= 1024 tiles and ran at ~6 ms each.
 # With the expansion hoisted, the tap body is a plain slice (identical to the
 # same-res path) and expanded pairs take full-size tiles. 0 disables (A/B).
-YEXP = os.environ.get("APE_MSDA_YEXP", "1") != "0"
+YEXP = os.environ.get("APE_MSDA_YEXP", "0") != "0"
 
 
 class _PairGeom:

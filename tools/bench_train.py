@@ -1,10 +1,12 @@
 #!/usr/bin/env python
-"""Training-step wall time on the real chip (fwd + bwd + AdamW).
+"""Training throughput on the real chip (fwd + bwd + AdamW), img/s + vs_baseline.
 
-The encoder MSDA backward currently routes through the exact-gather VJP
-(scatter-adds — the known round-2 perf gap, PERF.md); this harness is the
-meter for that work. BENCH_IMG shrinks the resolution (default 512: the full
-1024 backward exceeds the remote-compile budget pre-Pallas-backward).
+Protocol: batch BENCH_BATCH (default 2, matching the reference's 2 img/GPU —
+flagship config trains global batch 16 on 8 GPUs x iter_size 4) at
+BENCH_IMG^2 (default 1024, the reference's LSJ resolution). The A100 training
+estimate derives from the inference estimate (8 img/s, bench.py) at the
+standard ~3x training/inference FLOP ratio => ~2.7 img/s; the reference repo
+publishes no training-throughput number (BASELINE.md).
 """
 import json
 import os
@@ -15,8 +17,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
-IMG = int(os.environ.get("BENCH_IMG", 512))
+IMG = int(os.environ.get("BENCH_IMG", 1024))
+BATCH = int(os.environ.get("BENCH_BATCH", 2))
 ITERS = int(os.environ.get("BENCH_ITERS", 3))
+A100_TRAIN_EST_IMG_S = 8.0 / 3.0
 
 
 def main():
@@ -34,16 +38,17 @@ def main():
     )
     rng = np.random.RandomState(0)
     nt = 80
+    b = BATCH
     batch = {
-        "images": jnp.asarray(rng.randn(1, IMG, IMG, 3), jnp.float32),
-        "image_sizes": jnp.asarray([[IMG, IMG]], jnp.int32),
-        "text_features": jnp.asarray(rng.randn(1, nt, 1024), jnp.float32),
-        "text_valid": jnp.ones((1, nt), bool),
+        "images": jnp.asarray(rng.randn(b, IMG, IMG, 3), jnp.float32),
+        "image_sizes": jnp.asarray([[IMG, IMG]] * b, jnp.int32),
+        "text_features": jnp.asarray(rng.randn(b, nt, 1024), jnp.float32),
+        "text_valid": jnp.ones((b, nt), bool),
         "targets": {
-            "labels": jnp.asarray(rng.randint(0, nt, (1, 8)), jnp.int32),
-            "boxes": jnp.asarray(rng.uniform(0.2, 0.6, (1, 8, 4)), jnp.float32),
-            "valid": jnp.asarray(np.arange(8)[None] < 4),
-            "masks": jnp.asarray((rng.rand(1, 8, IMG // 4, IMG // 4) > 0.7), jnp.float32),
+            "labels": jnp.asarray(rng.randint(0, nt, (b, 8)), jnp.int32),
+            "boxes": jnp.asarray(rng.uniform(0.2, 0.6, (b, 8, 4)), jnp.float32),
+            "valid": jnp.asarray(np.broadcast_to(np.arange(8)[None] < 4, (b, 8))),
+            "masks": jnp.asarray((rng.rand(b, 8, IMG // 4, IMG // 4) > 0.7), jnp.float32),
         },
     }
     shapes = jax.eval_shape(
@@ -67,8 +72,11 @@ def main():
         state, m = step(state, batch, key)
     _ = float(m["total_loss"])
     dt = (time.perf_counter() - t0) / ITERS
-    print(json.dumps({"metric": f"APE-Ti train step @ {IMG}x{IMG}",
-                      "value": round(dt, 3), "unit": "s/step"}))
+    img_s = BATCH / dt
+    print(json.dumps({"metric": f"APE-Ti training images/sec/chip @ {IMG}x{IMG} batch {BATCH}",
+                      "value": round(img_s, 3), "unit": "img/s",
+                      "s_per_step": round(dt, 3),
+                      "vs_baseline": round(img_s / A100_TRAIN_EST_IMG_S, 3)}))
 
 
 if __name__ == "__main__":
