@@ -27,7 +27,11 @@ from typing import Dict, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from ape_tpu.ops.box_ops import box_cxcywh_to_xyxy, elementwise_generalized_box_iou
+from ape_tpu.ops.box_ops import (
+    box_cxcywh_to_xyxy,
+    elementwise_box_iou,
+    elementwise_generalized_box_iou,
+)
 from ape_tpu.ops.misc import sigmoid_focal_loss
 from ape_tpu.modeling.ape_deta.matchers import (
     hungarian_match,
@@ -42,6 +46,41 @@ def _gather_gt(arr: jnp.ndarray, assign: jnp.ndarray) -> jnp.ndarray:
     return jnp.take_along_axis(
         arr, idx.reshape(*assign.shape, *([1] * (arr.ndim - 2))), axis=1
     )
+
+
+def _point_sample_bilinear(masks: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear point sampling matching F.grid_sample(align_corners=False,
+    padding_mode='zeros') on [0,1]^2 coords (detrex point_sample semantics).
+
+    masks (B, M, H, W), pts (B, M, N, 2) as (x, y) -> (B, M, N)."""
+    b, m, h, w = masks.shape
+    x = pts[..., 0] * w - 0.5
+    y = pts[..., 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    flat = masks.reshape(b, m, h * w)
+
+    def corner(yi, xi, wgt):
+        inside = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        idx = jnp.clip(yi, 0, h - 1).astype(jnp.int32) * w + jnp.clip(
+            xi, 0, w - 1
+        ).astype(jnp.int32)
+        v = jnp.take_along_axis(flat, idx, axis=-1)
+        return v * wgt * inside.astype(masks.dtype)
+
+    return (
+        corner(y0, x0, (1 - fy) * (1 - fx))
+        + corner(y0, x0 + 1, (1 - fy) * fx)
+        + corner(y0 + 1, x0, fy * (1 - fx))
+        + corner(y0 + 1, x0 + 1, fy * fx)
+    )
+
+
+def _sigmoid_ce(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Per-element binary cross-entropy with logits (detrex sigmoid_ce_loss)."""
+    return jnp.clip(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
 
 
 @dataclasses.dataclass
@@ -74,6 +113,16 @@ class DeformableCriterion:
     # scalar weight; "cat" pads weight 0 and ALWAYS includes the padded class
     # range in the federated subset (:236-238 fed_loss_pad_classes).
     fed_loss_pad_type: Optional[str] = None
+    # point-sampled "masks_maskdino" loss (deformable_criterion.py:424-490):
+    # uncertainty-importance point sampling instead of the dense 1/4-res loss.
+    # Off by default — dense is the TPU-native equivalent (no gathers); flip
+    # for reference-exact loss values (A/B: same objective, pointwise CE+dice
+    # over 12544 sampled points vs dense over all 1/4-res points).
+    mask_point_sample: bool = False
+    mask_num_points: int = 12544
+    mask_oversample_ratio: float = 3.0
+    mask_importance_sample_ratio: float = 0.75
+    mask_max_masks: int = 128  # fixed-shape cap (reference caps at 128*B, :386)
 
     def __post_init__(self):
         self._fed_pad_start = None  # classes >= this are always kept ("cat")
@@ -172,6 +221,36 @@ class DeformableCriterion:
             "loss_giou": jnp.sum(giou * m) / num_boxes,
         }
 
+    def loss_pred_ious(self, outputs, targets, assign):
+        """MSE between the (single-class) raw logit and the pred-box-vs-gt IoU
+        over matched queries (deformable_criterion.py:293-313). Enc-only in the
+        dispatch, like the reference (:539-541, :579-586 skip it for final/aux
+        outputs and compute it on enc_outputs)."""
+        matched = assign >= 0
+        gt = _gather_gt(targets["boxes"], assign)
+        iou, _ = elementwise_box_iou(
+            box_cxcywh_to_xyxy(gt), box_cxcywh_to_xyxy(outputs["pred_boxes"])
+        )
+        logit = outputs["pred_logits"][..., 0]
+        m = matched.astype(logit.dtype)
+        err = (logit - iou) ** 2
+        return {"loss_iou": jnp.sum(err * m) / jnp.maximum(jnp.sum(m), 1.0)}
+
+    def loss_anchor_ious(self, outputs, targets, assign):
+        """MSE between the logit and the ANCHOR-vs-gt IoU
+        (deformable_criterion.py:278-291). The reference reads the
+        matcher_stage1 cost matrix (t["ious"][J, I], :569-573); recomputed
+        elementwise here from enc_outputs["anchors"] — identical values."""
+        matched = assign >= 0
+        gt = _gather_gt(targets["boxes"], assign)
+        iou, _ = elementwise_box_iou(
+            box_cxcywh_to_xyxy(gt), box_cxcywh_to_xyxy(outputs["anchors"])
+        )
+        logit = outputs["pred_logits"][..., 0]
+        m = matched.astype(logit.dtype)
+        err = (logit - iou) ** 2
+        return {"loss_iou": jnp.sum(err * m) / jnp.maximum(jnp.sum(m), 1.0)}
+
     def loss_masks(self, outputs, targets, assign, num_boxes):
         if "pred_masks" not in outputs or "masks" not in targets:
             return {}
@@ -192,6 +271,60 @@ class DeformableCriterion:
         return {
             "loss_mask": jnp.sum(focal * matched) / num_boxes,
             "loss_dice": jnp.sum(dice * matched) / num_boxes,
+        }
+
+    def loss_masks_maskdino(self, outputs, targets, assign, num_boxes, rng):
+        """Point-sampled mask loss (deformable_criterion.py:424-490): sample
+        ``mask_num_points`` per matched mask — 3x-oversampled random points,
+        keep the 75% most UNCERTAIN (|logit| smallest, detrex
+        calculate_uncertainty) plus 25% fresh random — then sigmoid CE + dice
+        over the sampled points. Fixed shapes: up to ``mask_max_masks`` matched
+        queries are compacted per image; invalid slots are masked out."""
+        if "pred_masks" not in outputs or "masks" not in targets:
+            return {}
+        pred = outputs["pred_masks"]  # (B, K, Hm, Wm) logits
+        b, k, hm, wm = pred.shape
+        m = min(self.mask_max_masks, k)
+        n = self.mask_num_points
+        n_over = int(n * self.mask_oversample_ratio)
+        n_imp = int(n * self.mask_importance_sample_ratio)
+        n_rand = n - n_imp
+
+        # compact matched query slots to M fixed slots (score = matched flag,
+        # stable ties by index so selection is deterministic)
+        matched = assign >= 0
+        score = matched.astype(jnp.float32) - jnp.arange(k, dtype=jnp.float32)[None] * 1e-9
+        _, sel = jax.lax.top_k(score, m)  # (B, M) query indices
+        sel_valid = jnp.take_along_axis(matched, sel, axis=1)  # (B, M)
+        pred_sel = jnp.take_along_axis(pred.reshape(b, k, -1), sel[..., None], axis=1)
+        pred_sel = pred_sel.reshape(b, m, hm, wm)
+        gt = _gather_gt(targets["masks"], assign)  # (B, K, Hg, Wg)
+        gt_sel = jnp.take_along_axis(gt.reshape(b, k, -1), sel[..., None], axis=1)
+        gt_sel = gt_sel.reshape(b, m, *gt.shape[-2:]).astype(pred.dtype)
+
+        r1, r2 = jax.random.split(rng)
+        pts = jax.random.uniform(r1, (b, m, n_over, 2))
+        logits_o = _point_sample_bilinear(pred_sel, pts)  # (B, M, N_over)
+        # uncertainty = -|logit| (calculate_uncertainty); top-k most uncertain
+        _, imp_idx = jax.lax.top_k(-jnp.abs(logits_o), n_imp)
+        imp_pts = jnp.take_along_axis(pts, imp_idx[..., None], axis=2)
+        rand_pts = jax.random.uniform(r2, (b, m, n_rand, 2))
+        coords = jnp.concatenate([imp_pts, rand_pts], axis=2)  # (B, M, N, 2)
+
+        point_logits = _point_sample_bilinear(pred_sel, coords)  # (B, M, N)
+        point_labels = _point_sample_bilinear(gt_sel, coords)
+        point_labels = jax.lax.stop_gradient(point_labels)
+
+        ce = _sigmoid_ce(point_logits, point_labels).mean(-1)  # (B, M)
+        prob = jax.nn.sigmoid(point_logits)
+        inter = jnp.sum(prob * point_labels, -1)
+        dice = 1.0 - (2 * inter + 1.0) / (
+            jnp.sum(prob, -1) + jnp.sum(point_labels, -1) + 1.0
+        )
+        mval = sel_valid.astype(pred.dtype)
+        return {
+            "loss_mask_maskdino": jnp.sum(ce * mval) / num_boxes,
+            "loss_dice_maskdino": jnp.sum(dice * mval) / num_boxes,
         }
 
     # ------------------------------------------------------------------
@@ -225,7 +358,7 @@ class DeformableCriterion:
         num_boxes: jnp.ndarray,  # scalar, already all-reduced & clamped >= 1
         class_valid: Optional[jnp.ndarray] = None,  # (B, C) text/vocab validity
     ) -> Dict[str, jnp.ndarray]:
-        r_match, r_fed, r_s1 = jax.random.split(rng, 3)
+        r_match, r_fed, r_s1, r_mask = jax.random.split(rng, 4)
         if class_valid is None:
             class_valid = jnp.ones(outputs["pred_logits"].shape[::2], bool)
 
@@ -241,7 +374,11 @@ class DeformableCriterion:
             losses.update(
                 self.loss_boxes(outputs, targets, assign, num_boxes, panoptic=True)
             )
-        if "masks" in self.losses or "masks_maskdino" in self.losses:
+        if "masks_maskdino" in self.losses and self.mask_point_sample:
+            losses.update(
+                self.loss_masks_maskdino(outputs, targets, assign, num_boxes, r_mask)
+            )
+        elif "masks" in self.losses or "masks_maskdino" in self.losses:
             losses.update(self.loss_masks(outputs, targets, assign, num_boxes))
 
         for i, aux in enumerate(outputs.get("aux_outputs", [])):
@@ -257,7 +394,12 @@ class DeformableCriterion:
                 )
                 losses[f"loss_bbox_{i}"] = l["loss_bbox"]
                 losses[f"loss_giou_{i}"] = l["loss_giou"]
-            if ("masks" in self.losses or "masks_maskdino" in self.losses) and "pred_masks" in aux:
+            if "masks_maskdino" in self.losses and self.mask_point_sample and "pred_masks" in aux:
+                # reference aux loop skips "masks" but keeps masks_maskdino (:552-557)
+                l = self.loss_masks_maskdino(aux, targets, assign, num_boxes, r_mask)
+                losses[f"loss_mask_maskdino_{i}"] = l["loss_mask_maskdino"]
+                losses[f"loss_dice_maskdino_{i}"] = l["loss_dice_maskdino"]
+            elif ("masks" in self.losses or "masks_maskdino" in self.losses) and "pred_masks" in aux:
                 l = self.loss_masks(aux, targets, assign, num_boxes)
                 losses[f"loss_mask_{i}"] = l["loss_mask"]
                 losses[f"loss_dice_{i}"] = l["loss_dice"]
@@ -285,6 +427,16 @@ class DeformableCriterion:
             l = self.loss_boxes(enc, bin_targets, enc_assign, num_boxes)
             losses["loss_bbox_enc"] = l["loss_bbox"]
             losses["loss_giou_enc"] = l["loss_giou"]
+            # iou regression losses are enc-only (reference skips them for
+            # final/aux outputs, :539-541, and runs them here, :579-586)
+            if "pred_iou" in self.losses:
+                losses["loss_iou_enc"] = self.loss_pred_ious(
+                    enc, bin_targets, enc_assign
+                )["loss_iou"]
+            elif "anchor_iou" in self.losses:
+                losses["loss_iou_enc"] = self.loss_anchor_ious(
+                    enc, bin_targets, enc_assign
+                )["loss_iou"]
 
         return losses
 

@@ -63,21 +63,47 @@ def make_kernel(variant, g, tq, tw, slab_w, single_x, single_y):
             cp.start()
 
         radius = g.radius
-        ox = jnp.clip(offx_ref[0], -radius, radius)
-        oy = jnp.clip(offy_ref[0], -radius, radius)
-        att = att_ref[0]
+        if variant.startswith("k32_t"):
+            ox = jnp.clip(offx_ref[0, 0, 0], -radius, radius)  # (PH, tq*tw)
+            oy = jnp.clip(offy_ref[0, 0, 0], -radius, radius)
+            att = att_ref[0, 0, 0]
+        else:
+            ox = jnp.clip(offx_ref[0], -radius, radius)
+            oy = jnp.clip(offy_ref[0], -radius, radius)
+            att = att_ref[0]
 
         pad = g.pad
-        if g.rem_x is None:
-            qx = jax.lax.broadcasted_iota(jnp.int32, (tq, tw, 1), 1).astype(jnp.float32)
-            rem_x = ((qx % g.inv_x) + 0.5) / g.inv_x - 0.5
+        transposed = variant.startswith("k32_t")
+        if transposed:
+            # "qlane" layout: blocks are (1, 1, 1, PH, tq*tw) — PH on SUBLANES,
+            # queries on LANES. The hat/attention VPU math runs at 100% lane
+            # efficiency (vs PH=32/128 in the production layout) and the
+            # dot_general contracts the sublane dim, emitting (tq*tw, C) which
+            # reshapes for free into the FMA layout. (A (1, tq, PH, tw) block
+            # is illegal: the minor dim tw is neither 128-divisible nor the
+            # full array extent.)
+            nq = tq * tw
+            if g.rem_x is None:
+                qx = (jax.lax.broadcasted_iota(jnp.int32, (1, nq), 1) % tw).astype(jnp.float32)
+                rem_x = ((qx % g.inv_x) + 0.5) / g.inv_x - 0.5
+            else:
+                rem_x = g.rem_x
+            if g.rem_y is None:
+                qy = (jax.lax.broadcasted_iota(jnp.int32, (1, nq), 1) // tw).astype(jnp.float32)
+                rem_y = ((qy % g.inv_y) + 0.5) / g.inv_y - 0.5
+            else:
+                rem_y = g.rem_y
         else:
-            rem_x = g.rem_x
-        if g.rem_y is None:
-            qy = jax.lax.broadcasted_iota(jnp.int32, (tq, tw, 1), 0).astype(jnp.float32)
-            rem_y = ((qy % g.inv_y) + 0.5) / g.inv_y - 0.5
-        else:
-            rem_y = g.rem_y
+            if g.rem_x is None:
+                qx = jax.lax.broadcasted_iota(jnp.int32, (tq, tw, 1), 1).astype(jnp.float32)
+                rem_x = ((qx % g.inv_x) + 0.5) / g.inv_x - 0.5
+            else:
+                rem_x = g.rem_x
+            if g.rem_y is None:
+                qy = jax.lax.broadcasted_iota(jnp.int32, (tq, tw, 1), 0).astype(jnp.float32)
+                rem_y = ((qy % g.inv_y) + 0.5) / g.inv_y - 0.5
+            else:
+                rem_y = g.rem_y
         px = ox + (pad + rem_x)
         py = oy + (pad + rem_y)
 
@@ -98,6 +124,88 @@ def make_kernel(variant, g, tq, tw, slab_w, single_x, single_y):
         if variant == "dma_only":
             # copies started+waited, no compute loop: isolates slab DMA +
             # dispatch + in/out block traffic (the per-tile fixed cost)
+            out_ref[0] = acc_ref[...].astype(out_ref.dtype)
+            return
+
+        if variant in ("u8", "u4", "uskip"):
+            # In-kernel per-tile tap bounds (production reads them from SMEM;
+            # the scalar reductions here are one-off per tile).
+            rows_q_ = tq if g.sy > 1 else tq // g.inv_y
+            u_lo = jnp.clip(jnp.ceil(jnp.min(px) - 1), 0, g.win - 1).astype(jnp.int32)
+            u_hi = jnp.clip(jnp.floor(jnp.max(px) + 1), 0, g.win - 1).astype(jnp.int32)
+            v_lo = jnp.clip(jnp.ceil(jnp.min(py) - 1), 0, g.win - 1).astype(jnp.int32)
+            v_hi = jnp.clip(jnp.floor(jnp.max(py) + 1), 0, g.win - 1).astype(jnp.int32)
+            e2bf = expand2.astype(jnp.bfloat16)
+
+            def tap_term(u, ahy, phi_y, dy):
+                """One tap's contribution (exact zero when hat(u-px) == 0)."""
+                hx = _hat(u.astype(jnp.float32) - px).astype(jnp.bfloat16)
+                whp = ahy * hx
+                w = jax.lax.dot_general(
+                    whp, e2bf,
+                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                if g.sx > 1:
+                    # overhang taps (hat==0) clamp to a legal plane index
+                    plane_idx, a8 = jnp.minimum(u, g.win - 1), 0
+                else:
+                    ushift = u * g.inv_x
+                    rem = jax.lax.rem(ushift, 8)
+                    plane_idx = rem // g.inv_x
+                    # block overhang taps (hat==0) may point past the slab:
+                    # clamp the 8-aligned slice start so the read stays legal
+                    a8 = pl.multiple_of(
+                        jnp.minimum(ushift - rem, slab_w - tw), 8
+                    )
+                view = slabs[plane_idx, phi_y, pl.ds(dy, rows_q_), pl.ds(a8, tw), :]
+                if g.inv_y > 1:
+                    view = jnp.broadcast_to(
+                        view[:, None], (rows_q_, g.inv_y, tw, view.shape[-1])
+                    ).reshape(rows_q_ * g.inv_y, tw, view.shape[-1])
+                return w * view.astype(jnp.float32)
+
+            if variant == "uskip":
+                # production-style: dynamic fori per tap, acc RMW every tap
+                def v_body_s(v, _):
+                    hy = _hat(v.astype(jnp.float32) - py)
+                    ahy = (att * hy).astype(jnp.bfloat16)
+                    phi_y = (g.int_y + v) % g.sy if g.sy > 1 else 0
+                    dy = (g.int_y + v) // g.sy if g.sy > 1 else v
+
+                    def u_body(u, _):
+                        acc_ref[...] = acc_ref[...] + tap_term(u, ahy, phi_y, dy)
+                        return 0
+
+                    jax.lax.fori_loop(u_lo, u_hi + 1, u_body, 0)
+                    return 0
+
+                jax.lax.fori_loop(v_lo, v_hi + 1, v_body_s, 0)
+            else:
+                # static U_BLK-unrolled taps at a DYNAMIC base: the taps chain
+                # through a VALUE (one acc RMW per block); overhang taps are
+                # exact zeros via the hat, so no predication is needed
+                u_blk = 8 if variant == "u8" else 4
+                n_blk = (u_hi - u_lo) // u_blk + 1
+
+                def v_body8(v, _):
+                    hy = _hat(v.astype(jnp.float32) - py)
+                    ahy = (att * hy).astype(jnp.bfloat16)
+                    phi_y = (g.int_y + v) % g.sy if g.sy > 1 else 0
+                    dy = (g.int_y + v) // g.sy if g.sy > 1 else v
+
+                    def blk_body(bi, _):
+                        u0 = u_lo + bi * u_blk
+                        acc = acc_ref[...]
+                        for k in range(u_blk):
+                            acc = acc + tap_term(u0 + k, ahy, phi_y, dy)
+                        acc_ref[...] = acc
+                        return 0
+
+                    jax.lax.fori_loop(0, n_blk, blk_body, 0)
+                    return 0
+
+                jax.lax.fori_loop(v_lo, v_hi + 1, v_body8, 0)
             out_ref[0] = acc_ref[...].astype(out_ref.dtype)
             return
 
@@ -135,7 +243,19 @@ def make_kernel(variant, g, tq, tw, slab_w, single_x, single_y):
                     w = jnp.full((tq, tw, c), 0.01, jnp.float32)
                 else:
                     whp = ahy * _hat(u - px)
-                    if variant in ("k32", "k32_nofma", "k32_bf16"):
+                    if transposed:
+                        # whp: (PH, tq*tw). MXU contracts the SUBLANE dim with
+                        # expand2 -> (tq*tw, C), reshaped for free into the
+                        # (tq, tw, C) FMA layout.
+                        w = jax.lax.dot_general(
+                            whp.astype(jnp.bfloat16), expand2.astype(jnp.bfloat16),
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        ).reshape(tq, tw, c)
+                        if variant == "k32_t_nofma":
+                            acc_ref[...] = acc_ref[...] + w
+                            continue
+                    elif variant in ("k32", "k32_nofma", "k32_bf16"):
                         lhs = whp.astype(jnp.bfloat16) if variant == "k32_bf16" else whp
                         rhs = expand2.astype(lhs.dtype)
                         w = jax.lax.dot_general(
@@ -201,15 +321,38 @@ def run_pair_variant(variant, v_l, off_pair, att_pair, hq, wq, hv, wv):
     offy_g = off_pair[..., 1].transpose(0, 1, 3, 2).reshape(b, hq, wq, PH)
     att_g = att_pair.transpose(0, 1, 3, 2).reshape(b, hq, wq, PH)
 
+    if variant.startswith("k32_t"):
+        # qlane: (B, nty, ntx, PH, tq*tw) — per-tile weight slabs with queries
+        # on lanes (XLA-side reshuffle; ~8 MB per input on the big pair)
+        nty, ntx = hq // tq, wq // tw
+
+        def qlane(x):
+            return (
+                x.reshape(b, nty, tq, ntx, tw, PH)
+                .transpose(0, 1, 3, 5, 2, 4)
+                .reshape(b, nty, ntx, PH, tq * tw)
+            )
+
+        offx_g, offy_g, att_g = qlane(offx_g), qlane(offy_g), qlane(att_g)
+        wspec = pl.BlockSpec(
+            (1, 1, 1, PH, tq * tw),
+            lambda bb, ty, tx: (bb, ty, tx, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        wspec = pl.BlockSpec(
+            (1, tq, tw, PH), lambda bb, ty, tx: (bb, ty, tx, 0), memory_space=pltpu.VMEM
+        )
+
     kernel = make_kernel(variant, g, tq, tw, slab_w, (wq // tw) == 1, (hq // tq) == 1)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, hq, wq, C), jnp.float32),
         grid=(b, hq // tq, wq // tw),
         in_specs=[
-            pl.BlockSpec((1, tq, tw, PH), lambda bb, ty, tx: (bb, ty, tx, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tq, tw, PH), lambda bb, ty, tx: (bb, ty, tx, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tq, tw, PH), lambda bb, ty, tx: (bb, ty, tx, 0), memory_space=pltpu.VMEM),
+            wspec,
+            wspec,
+            wspec,
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(
@@ -272,6 +415,17 @@ if __name__ == "__main__":
         "base", "const_w", "no_fma", "k32", "tile"
     ]
     print(f"pair {pair}: q {hq}x{wq} <- v {hv}x{wv}")
+    if os.environ.get("PROBE_CHECK", "0") == "1":
+        rng = np.random.RandomState(0)
+        v_l = jnp.asarray(rng.randn(1, hv * wv, C), jnp.float32)
+        off = jnp.asarray(rng.randn(1, hq * wq, H, P, 2) * 2, jnp.float32)
+        att = jnp.asarray(rng.rand(1, hq * wq, H, P), jnp.float32)
+        ref = np.asarray(run_pair_variant("k32_bf16", v_l, off, att, hq, wq, hv, wv))
+        for v2 in variants:
+            if v2 in ("k32_bf16",):
+                continue
+            got = np.asarray(run_pair_variant(v2, v_l, off, att, hq, wq, hv, wv))
+            print(f"  {v2}: max|diff| vs k32_bf16 = {np.abs(got - ref).max():.3e}")
     for variant in variants:
         try:
             dt = time_variant(variant, hq, wq, hv, wv)
