@@ -154,16 +154,30 @@ def _grad_kernel_offatt(
     u_lo = bounds_ref[b, ty, tx, 0]
     u_hi = bounds_ref[b, ty, tx, 1]
 
-    def v_body(v, _):
+    def geom_y(v):
+        if g.sy > 1:
+            return (g.int_y + v) % g.sy, (g.int_y + v) // g.sy
+        return 0, v
+
+    def tap_s(plane_idx, a8, phi_y, dy):
+        """Head-wise inner product s = <g, view>_D for one tap, (tq, tw, PH)."""
+        view = slabs[plane_idx, phi_y, pl.ds(dy, rows_q), pl.ds(a8, tw), :]
+        if g.inv_y > 1:
+            view = jnp.broadcast_to(
+                view[:, None], (rows_q, g.inv_y, tw, view.shape[-1])
+            ).reshape(rows_q * g.inv_y, tw, view.shape[-1])
+        gv = gt * view.astype(jnp.float32)  # (tq, tw, C)
+        return jax.lax.dot_general(
+            gv.astype(jnp.bfloat16), expand2T,
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # s_h replicated across points
+
+    def v_body_dyn(v, _):
         vf = v.astype(jnp.float32)
         hy = _hat(vf - py)
         dhy = _dpos(vf - py)  # d/d oy of hat(v - py)
-        if g.sy > 1:
-            phi_y = (g.int_y + v) % g.sy
-            dy = (g.int_y + v) // g.sy
-        else:
-            phi_y = 0
-            dy = v
+        phi_y, dy = geom_y(v)
 
         # dynamic u-tap skip with dynamic plane select — same scheme as the
         # forward kernel (ops/msda_window_pallas_v2.py)
@@ -176,17 +190,7 @@ def _grad_kernel_offatt(
                 rem = jax.lax.rem(ushift, 8)
                 plane_idx = rem // g.inv_x
                 a8 = pl.multiple_of(ushift - rem, 8)
-            view = slabs[plane_idx, phi_y, pl.ds(dy, rows_q), pl.ds(a8, tw), :]
-            if g.inv_y > 1:
-                view = jnp.broadcast_to(
-                    view[:, None], (rows_q, g.inv_y, tw, view.shape[-1])
-                ).reshape(rows_q * g.inv_y, tw, view.shape[-1])
-            gv = gt * view.astype(jnp.float32)  # (tq, tw, C)
-            s = jax.lax.dot_general(
-                gv.astype(jnp.bfloat16), expand2T,
-                dimension_numbers=(((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (tq, tw, PH): s_h replicated across points
+            s = tap_s(plane_idx, a8, phi_y, dy)
             hx = _hat(uf - px)
             dhx = _dpos(uf - px)
             sa = s * att
@@ -198,7 +202,14 @@ def _grad_kernel_offatt(
         jax.lax.fori_loop(u_lo, u_hi + 1, u_body, 0)
         return 0
 
-    jax.lax.fori_loop(v_lo, v_hi + 1, v_body, 0)
+    # NOTE: unlike the forward, this kernel keeps the dynamic u loop in ALL
+    # regimes. A static value-chained branch (forward-style hybrid) was built
+    # and measured: its per-u (tq, tw, C) gv temporaries do not share Mosaic
+    # stack slots, and the dual-branch cond blew scoped VMEM (opaque HTTP-500
+    # compile crash) on every inv_x==1 pair. The dynamic loop's per-tap cost
+    # here is dominated by the gv product + K=256 dot anyway — the three
+    # (tq, tw, PH) acc RMWs it adds are small.
+    jax.lax.fori_loop(v_lo, v_hi + 1, v_body_dyn, 0)
     dox_ref[0] = dox_acc[...] * mx
     doy_ref[0] = doy_acc[...] * my
     datt_ref[0] = datt_acc[...]
@@ -355,12 +366,17 @@ def _grad_kernel_value(
 
     v_lo = bounds_ref[b, ty, tx, 2]
     v_hi = bounds_ref[b, ty, tx, 3]
+    u_lo = bounds_ref[b, ty, tx, 0]
+    u_hi = bounds_ref[b, ty, tx, 1]
 
     # NOTE: the u loop here stays STATICALLY UNROLLED. Unlike the forward and
     # the d_off/d_att kernel (dynamic loads only), this kernel WRITES at the
     # u-dependent slab offset; a dynamic-offset sublane store lowers through a
     # masked read-modify-write path that measured ~10x slower in the full
     # train step (0.316 -> 3.69 s/step at 512²) despite skipping taps.
+    # Inactive taps are instead skipped by PREDICATION (@pl.when with static
+    # store offsets): hats outside [u_lo, u_hi] are identically zero, so the
+    # guarded tap bodies are exact skips.
     def v_body(v, _):
         hy = _hat(v.astype(jnp.float32) - py)
         ahy = att * hy
@@ -371,20 +387,23 @@ def _grad_kernel_value(
             phi_y = 0
             dy = v
         for u in range(g.win):
-            whp = ahy * _hat(u - px)
-            w = jax.lax.dot_general(
-                whp.astype(jnp.bfloat16), expand2,
-                dimension_numbers=(((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (tq, tw, C)
-            contrib = w * gt
-            if g.inv_y > 1:
-                # transpose of the forward's row repeat: sum query-row groups
-                contrib = contrib.reshape(rows_q, g.inv_y, tw, c).sum(axis=1)
-            plane_idx, a8 = g.u_to_plane[u]
-            dslab[plane_idx, phi_y, pl.ds(dy, rows_q), a8 : a8 + tw, :] = (
-                dslab[plane_idx, phi_y, pl.ds(dy, rows_q), a8 : a8 + tw, :] + contrib
-            )
+
+            @pl.when((u >= u_lo) & (u <= u_hi))
+            def _():
+                whp = ahy * _hat(u - px)
+                w = jax.lax.dot_general(
+                    whp.astype(jnp.bfloat16), expand2,
+                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (tq, tw, C)
+                contrib = w * gt
+                if g.inv_y > 1:
+                    # transpose of the forward's row repeat: sum query-row groups
+                    contrib = contrib.reshape(rows_q, g.inv_y, tw, c).sum(axis=1)
+                plane_idx, a8 = g.u_to_plane[u]
+                dslab[plane_idx, phi_y, pl.ds(dy, rows_q), a8 : a8 + tw, :] = (
+                    dslab[plane_idx, phi_y, pl.ds(dy, rows_q), a8 : a8 + tw, :] + contrib
+                )
         return 0
 
     jax.lax.fori_loop(v_lo, v_hi + 1, v_body, 0)

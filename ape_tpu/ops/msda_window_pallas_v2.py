@@ -65,11 +65,17 @@ VMEM_BUDGET = int(os.environ.get("APE_MSDA_VMEM_MB", "9")) * 1024 * 1024
 # halving the slab VMEM (smaller tiles). 0 disables (A/B knob).
 DBUF = os.environ.get("APE_MSDA_DBUF", "1") != "0"
 
-# Dynamic u-tap skip: run the u loop as fori(u_lo, u_hi) with dynamic plane
-# select instead of the statically unrolled 11 taps. Wins when learned offsets
-# are local (active u range ~4-5 of 11); costs loop-dynamic overhead when the
-# whole window is active (earlier per-u predication measured +1.7 ms there).
-USKIP = os.environ.get("APE_MSDA_USKIP", "1") != "0"
+# u-loop mode. The dynamic fori u loop (mode 2) wins when learned offsets are
+# local (active u range ~3-5 of 11, e.g. synthetic bench weights) but pays an
+# acc RMW per tap, which LOSES ~35% to the statically unrolled register-chained
+# taps when the window is mostly active (realistic several-pixel offsets:
+# probe same-res pair 6.30 ms dynamic vs 4.66 static at OFF_SCALE=2).
+# Mode 1 (default) branches PER TILE on the active-u count from the SMEM
+# bounds: narrow tiles take the dynamic skip loop, wide tiles the static
+# unroll — fast in both offset regimes. 0 forces static-only.
+USKIP = int(os.environ.get("APE_MSDA_USKIP", "1"))
+# active-u count at or below which the hybrid takes the dynamic path
+HYBRID_THRESH = int(os.environ.get("APE_MSDA_HYBRID_THRESH", "6"))
 
 # Pre-expand coarser-value rows ONCE per tile into a VMEM scratch instead of
 # broadcasting inside every (v, u) tap. The per-tap broadcast materialized a
@@ -321,75 +327,93 @@ def _pair_kernel_v2(
 
     # Dynamic tap-ROW skip: learned offsets are local, so per query tile the
     # bilinear hats are provably zero outside [v_lo, v_hi] (bounds from the
-    # XLA-side min/max of the clipped sample positions — _tap_bounds). Only the
-    # v loop gets dynamic bounds: the u loop stays STATICALLY UNROLLED because
-    # measured on v5e (a) a dynamic/predicated u loop breaks Mosaic's tap
-    # pipelining (+1.7 ms on the 256^2 pair when the full window is active) and
-    # (b) the per-tile fixed cost (~2.4 ms, DMA-wait dominated) caps what finer
-    # u-skipping can recover (2.8 vs 3.0 ms at bench-scale offsets). Exact: the
+    # XLA-side min/max of the clipped sample positions — _tap_bounds). The
     # skipped v rows contribute zero for every query/point/head in the tile.
     v_lo = bounds_ref[b, ty, tx, 2]
     v_hi = bounds_ref[b, ty, tx, 3]
+    u_lo = bounds_ref[b, ty, tx, 0]
+    u_hi = bounds_ref[b, ty, tx, 1]
 
-    # x-hats are v-invariant: compute the 11 (tq, tw, PH) blocks ONCE in bf16.
-    # Inside the (v, u) loop the weight math is then a single bf16 multiply —
-    # previously hat+mul+cast ran per tap on 32-of-128-lane f32 vregs and was
-    # the measured kernel floor (weight path ~= total, PERF.md).
-    hx_bf = None if uskip else [_hat(u - px).astype(jnp.bfloat16) for u in range(g.win)]
-
-    def v_body(v, _):
+    def make_ahy(v):
         hy = _hat(v.astype(jnp.float32) - py)
-        ahy = (att * hy).astype(jnp.bfloat16)
         if g.sy > 1:
             phi_y = (g.int_y + v) % g.sy
             dy = (g.int_y + v) // g.sy
         else:
             phi_y = 0
             dy = v
-        def tap(whp, plane_idx, a8):
-            w = jax.lax.dot_general(
-                whp, expand2,
-                dimension_numbers=(((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (tq, tw, C)
-            if yexp:
-                # expanded rows: query row qy of tap v reads expanded row
-                # qy + v*inv_y (exact: (ts+qy+v*inv_y)//inv_y == value row)
-                view = exp_ref[plane_idx, pl.ds(dy * g.inv_y, tq), pl.ds(a8, tw), :]
-            else:
-                view = cur_slab[plane_idx, phi_y, pl.ds(dy, rows_q), pl.ds(a8, tw), :]
-                if g.inv_y > 1:
-                    # row element-repeat via broadcast+merge of two free dims
-                    view = jnp.broadcast_to(
-                        view[:, None], (rows_q, g.inv_y, tw, view.shape[-1])
-                    ).reshape(rows_q * g.inv_y, tw, view.shape[-1])
-            acc_ref[...] = acc_ref[...] + w * view.astype(jnp.float32)
+        return (att * hy).astype(jnp.bfloat16), phi_y, dy
 
-        if uskip:
-            u_lo = bounds_ref[b, ty, tx, 0]
-            u_hi = bounds_ref[b, ty, tx, 1]
-
-            def u_body(u, _):
-                hx = _hat(u.astype(jnp.float32) - px).astype(jnp.bfloat16)
-                if g.sx > 1:
-                    plane_idx, a8 = u, 0
-                else:
-                    ushift = u * g.inv_x
-                    rem = jax.lax.rem(ushift, 8)
-                    # planes hold sorted sub-8 shifts [0, inv_x, 2*inv_x, ...]
-                    plane_idx = rem // g.inv_x
-                    a8 = pl.multiple_of(ushift - rem, 8)
-                tap(ahy * hx, plane_idx, a8)
-                return 0
-
-            jax.lax.fori_loop(u_lo, u_hi + 1, u_body, 0)
+    def tap(whp, plane_idx, a8, phi_y, dy):
+        w = jax.lax.dot_general(
+            whp, expand2,
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (tq, tw, C)
+        if yexp:
+            # expanded rows: query row qy of tap v reads expanded row
+            # qy + v*inv_y (exact: (ts+qy+v*inv_y)//inv_y == value row)
+            view = exp_ref[plane_idx, pl.ds(dy * g.inv_y, tq), pl.ds(a8, tw), :]
         else:
-            for u in range(g.win):
-                plane_idx, a8 = g.u_to_plane[u]
-                tap(ahy * hx_bf[u], plane_idx, a8)
+            view = cur_slab[plane_idx, phi_y, pl.ds(dy, rows_q), pl.ds(a8, tw), :]
+            if g.inv_y > 1:
+                # row element-repeat via broadcast+merge of two free dims
+                view = jnp.broadcast_to(
+                    view[:, None], (rows_q, g.inv_y, tw, view.shape[-1])
+                ).reshape(rows_q * g.inv_y, tw, view.shape[-1])
+        return w * view.astype(jnp.float32)
+
+    def v_body_dyn(v, _):
+        # dynamic u loop: taps outside [u_lo, u_hi] are skipped entirely, at
+        # the cost of an acc read-modify-write per tap (the fori body cannot
+        # register-chain across iterations)
+        ahy, phi_y, dy = make_ahy(v)
+
+        def u_body(u, _):
+            hx = _hat(u.astype(jnp.float32) - px).astype(jnp.bfloat16)
+            if g.sx > 1:
+                plane_idx, a8 = u, 0
+            else:
+                ushift = u * g.inv_x
+                rem = jax.lax.rem(ushift, 8)
+                # planes hold sorted sub-8 shifts [0, inv_x, 2*inv_x, ...]
+                plane_idx = rem // g.inv_x
+                a8 = pl.multiple_of(ushift - rem, 8)
+            acc_ref[...] = acc_ref[...] + tap(ahy * hx, plane_idx, a8, phi_y, dy)
+            return 0
+
+        jax.lax.fori_loop(u_lo, u_hi + 1, u_body, 0)
         return 0
 
-    jax.lax.fori_loop(v_lo, v_hi + 1, v_body, 0)
+    def run_dyn():
+        jax.lax.fori_loop(v_lo, v_hi + 1, v_body_dyn, 0)
+
+    def run_static():
+        # x-hats are v-invariant: compute the win (tq, tw, PH) blocks ONCE in
+        # bf16; the static unroll lets Mosaic chain all taps of a v through
+        # registers (one acc RMW per v, not per tap)
+        hx_bf = [_hat(u - px).astype(jnp.bfloat16) for u in range(g.win)]
+
+        def v_body_static(v, _):
+            ahy, phi_y, dy = make_ahy(v)
+            acc = acc_ref[...]
+            for u in range(g.win):
+                plane_idx, a8 = g.u_to_plane[u]
+                acc = acc + tap(ahy * hx_bf[u], plane_idx, a8, phi_y, dy)
+            acc_ref[...] = acc
+            return 0
+
+        jax.lax.fori_loop(v_lo, v_hi + 1, v_body_static, 0)
+
+    if uskip == 1 and not yexp:
+        # hybrid: pick per tile by active-u count. Narrow windows (local
+        # offsets, e.g. synthetic bench weights) win with the dynamic skip;
+        # wide windows (realistic several-pixel offsets) win statically.
+        jax.lax.cond(u_hi - u_lo + 1 <= HYBRID_THRESH, run_dyn, run_static)
+    elif uskip >= 1:
+        run_dyn()
+    else:
+        run_static()
     out_ref[0] = acc_ref[...].astype(out_ref.dtype)
 
 
