@@ -195,6 +195,30 @@ def _convert_enc_dec(name: str, value) -> Dict[str, Any]:
         tgt = f"transformer/decoder/bbox_embed_{i}/layer{j}/{'kernel' if kind == 'weight' else 'bias'}"
         out[tgt] = _t_linear(value) if kind == "weight" else np.asarray(value)
         return out
+    # proposal_ambiguous head copies (deformable_detr.py:188-201)
+    m = re.match(
+        r"transformer\.decoder\.bbox_embed_ambiguous\.(\d+)\.layers\.(\d+)\.(weight|bias)",
+        name,
+    )
+    if m:
+        i, j, kind = m.groups()
+        tgt = (
+            f"transformer/decoder/bbox_embed_ambiguous_{i}/layer{j}/"
+            f"{'kernel' if kind == 'weight' else 'bias'}"
+        )
+        out[tgt] = _t_linear(value) if kind == "weight" else np.asarray(value)
+        return out
+    m = re.match(
+        r"transformer\.decoder\.class_embed_ambiguous\.(\d+)\.(weight|bias)", name
+    )
+    if m:
+        i, kind = m.groups()
+        tgt = (
+            f"transformer/decoder/class_embed_ambiguous_{i}/"
+            f"{'kernel' if kind == 'weight' else 'bias'}"
+        )
+        out[tgt] = _t_linear(value) if kind == "weight" else np.asarray(value)
+        return out
     return out
 
 

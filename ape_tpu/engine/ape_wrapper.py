@@ -143,7 +143,13 @@ class APE:
         key = tuple(text_list)
         if key not in self._text_cache:
             out = self.model_language.forward_text(text_list, cache=True)
-            self._text_cache[key] = np.asarray(out["last_hidden_state_eot"], np.float32)
+            # EVA02CLIP/Bert/Llama2 return a dict; the T5 wrapper returns the
+            # pooled feature directly (t5_wrapper.py:94-99)
+            if not isinstance(out, dict):
+                feats = out
+            else:
+                feats = out["last_hidden_state_eot"]
+            self._text_cache[key] = np.asarray(feats, np.float32)
         return self._text_cache[key]
 
     def _text_features(self, text_list: List[str]):

@@ -376,6 +376,10 @@ class DeformableTransformerDecoder(nn.Module):
     num_points: int = 4
     look_forward_twice: bool = True
     use_act_checkpoint: bool = False
+    # extra copies of the enc-stage class/bbox heads whose per-proposal argmax
+    # wins the first stage (deformable_detr.py:188-201, used by the reference
+    # flagship *_mdl configs via transformer.proposal_ambiguous = 1)
+    proposal_ambiguous: int = 0
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -383,10 +387,34 @@ class DeformableTransformerDecoder(nn.Module):
             MLP(self.embed_dim, 4, 3, dtype=self.dtype)
             for _ in range(self.num_layers + 1)
         ]
+        if self.proposal_ambiguous:
+            # reference: deepcopies of bbox_embed[-1] / class_embed[-1]
+            # (the Linear(embed, 1) objectness head with the focal prior bias)
+            self.bbox_embed_ambiguous = [
+                MLP(self.embed_dim, 4, 3, dtype=self.dtype)
+                for _ in range(self.proposal_ambiguous)
+            ]
+            self.class_embed_ambiguous = [
+                nn.Dense(
+                    1,
+                    bias_init=nn.initializers.constant(
+                        -math.log((1 - 0.01) / 0.01)
+                    ),
+                    dtype=self.dtype,
+                )
+                for _ in range(self.proposal_ambiguous)
+            ]
 
     def enc_bbox_head(self, x):
         """The extra bbox head applied to encoder proposals (two-stage)."""
         return self.bbox_embed[self.num_layers](x)
+
+    def enc_ambiguous_heads(self, x):
+        """Ambiguous enc-stage head outputs: ([(B,S,1)...], [(B,S,4)...])."""
+        return (
+            [h(x) for h in self.class_embed_ambiguous],
+            [h(x) for h in self.bbox_embed_ambiguous],
+        )
 
     @nn.compact
     def __call__(
@@ -512,9 +540,27 @@ class DeformableDetrTransformer(nn.Module):
         # zeroed memory (= its bias, sigmoid ~0.01) and participate in the
         # first-stage select; validity flows separately to the criterion
         enc_logits = enc_class_head(out_memory)[..., 0]  # (B, S)
-        enc_coords_unact = self.decoder.enc_bbox_head(out_memory) + jnp.where(
-            proposal_valid[..., None], proposals_unact, 0.0
-        )
+        masked_props = jnp.where(proposal_valid[..., None], proposals_unact, 0.0)
+        enc_coords_unact = self.decoder.enc_bbox_head(out_memory) + masked_props
+        if self.decoder.proposal_ambiguous:
+            # per-proposal argmax over 1+N head copies on the objectness logit
+            # picks which head's class AND coords survive
+            # (deformable_transformer_vl.py:508-534)
+            amb_cls, amb_box = self.decoder.enc_ambiguous_heads(out_memory)
+            cls_stack = jnp.stack(
+                [enc_logits] + [c[..., 0] for c in amb_cls], axis=1
+            )  # (B, 1+N, S)
+            coord_stack = jnp.stack(
+                [enc_coords_unact] + [bx + masked_props for bx in amb_box],
+                axis=1,
+            )  # (B, 1+N, S, 4)
+            head_idx = jnp.argmax(cls_stack, axis=1)  # (B, S)
+            enc_logits = jnp.take_along_axis(
+                cls_stack, head_idx[:, None, :], axis=1
+            )[:, 0]
+            enc_coords_unact = jnp.take_along_axis(
+                coord_stack, head_idx[:, None, :, None], axis=1
+            )[:, 0]
         # invalid proposals: the reference's +inf anchor saturates the sigmoid
         # to exactly 1.0 — 30.0 does the same in fp32 without inf arithmetic
         enc_coords_unact = jnp.where(

@@ -79,6 +79,7 @@ def build_transformer(
     embed_dim_language=1024,
     window_radius=4,
     use_act_checkpoint=False,
+    proposal_ambiguous=0,
     dtype=jnp.float32,
 ):
     return DeformableDetrTransformer(
@@ -105,6 +106,7 @@ def build_transformer(
             num_feature_levels=5,
             look_forward_twice=False,  # reference default; no config ever enables it
             use_act_checkpoint=use_act_checkpoint,
+            proposal_ambiguous=proposal_ambiguous,
             dtype=dtype,
         ),
         num_feature_levels=5,
@@ -122,6 +124,7 @@ def build_ape_ti(
     window_radius=4,
     num_learned_classes=0,
     use_act_checkpoint=False,
+    proposal_ambiguous=0,
     dtype=jnp.float32,
 ):
     """APE-Ti: EVA-02-Ti backbone, no VL fusion (BASELINE.json config #1/#2).
@@ -139,6 +142,7 @@ def build_ape_ti(
             embed_dim_language=embed_dim_language,
             window_radius=window_radius,
             use_act_checkpoint=use_act_checkpoint,
+            proposal_ambiguous=proposal_ambiguous,
             dtype=dtype,
         ),
         embed_dim=256,
@@ -158,6 +162,7 @@ def build_ape_l_d(
     window_radius=4,
     use_act_checkpoint=True,
     drop_path_rate=0.4,
+    proposal_ambiguous=0,
     dtype=jnp.float32,
 ):
     """APE-L_D: ViT-L EVA-02-CLIP backbone + vision-language fusion (flagship)."""
@@ -170,6 +175,7 @@ def build_ape_l_d(
             embed_dim_language=embed_dim_language,
             window_radius=window_radius,
             use_act_checkpoint=use_act_checkpoint,
+            proposal_ambiguous=proposal_ambiguous,
             dtype=dtype,
         ),
         embed_dim=256,

@@ -10,6 +10,10 @@ _base = LazyConfig.load(
     os.path.join(_dir, "../../LVIS_InstanceSegmentation/ape_deta/ape_deta_vitl_eva02_clip_vlf_lsj1024.py")
 )
 model = _base.model
+
+# the reference counterpart sets transformer.proposal_ambiguous = 1 (argmax
+# over duplicated enc-stage heads at the first-stage select)
+model.transformer.decoder.proposal_ambiguous = 1
 criterion = _base.criterion
 optimizer = _base.optimizer
 language = _base.language

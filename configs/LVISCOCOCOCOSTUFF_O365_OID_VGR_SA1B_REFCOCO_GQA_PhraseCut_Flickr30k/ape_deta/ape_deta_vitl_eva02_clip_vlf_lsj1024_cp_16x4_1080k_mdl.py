@@ -24,6 +24,10 @@ model.transformer.encoder.vl_init_values = 1.0 / 6
 model.transformer.encoder.use_act_checkpoint = True
 model.transformer.decoder.use_act_checkpoint = True
 
+# the reference counterpart sets transformer.proposal_ambiguous = 1 (argmax
+# over duplicated enc-stage heads at the first-stage select)
+model.transformer.decoder.proposal_ambiguous = 1
+
 # one criterion per dataset group + the shared-eval extra (reference :114-118)
 _NUM_CLASSES = [1256, 365, 601, 256, 1, 256, 256, 256, 256, 256]
 criterions = []

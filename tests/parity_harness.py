@@ -58,11 +58,17 @@ class FakeLanguage:
         return {"last_hidden_state_eot": self.feats[: len(text_list)]}
 
 
-def build_ref_model(d=DIMS, vl_fusion=False, seed=0, offset_scale=1.0):
+def build_ref_model(
+    d=DIMS, vl_fusion=False, seed=0, offset_scale=1.0, proposal_ambiguous=0
+):
     """Instantiate the reference flagship model at tiny dims (eval mode).
 
     offset_scale: multiply the (directionally initialized) MSDA sampling-offset
-    biases to emulate realistic learned offset magnitudes."""
+    biases to emulate realistic learned offset magnitudes.
+    proposal_ambiguous: duplicated enc-stage heads whose per-proposal argmax
+    wins the first stage (the reference flagship configs set 1); the copies
+    are perturbed after init so the argmax actually varies (deepcopy leaves
+    them identical to the base head)."""
     import torch
     import torch.nn as nn
 
@@ -139,6 +145,7 @@ def build_ref_model(d=DIMS, vl_fusion=False, seed=0, offset_scale=1.0):
         ),
         num_feature_levels=5, as_two_stage=True,
         two_stage_num_proposals=d["queries"], assign_first_stage=True,
+        proposal_ambiguous=proposal_ambiguous,
     )
     # the reference hardcodes num_pos_feats=128 (4*128 == 2*256 only at
     # embed_dim 256); rescale for tiny dims
@@ -195,6 +202,15 @@ def build_ref_model(d=DIMS, vl_fusion=False, seed=0, offset_scale=1.0):
                 if "sampling_offsets.bias" in name:
                     p.mul_(offset_scale)
 
+    if proposal_ambiguous:
+        # deepcopies start identical to the base head -> argmax would tie
+        # everywhere; perturb so head selection genuinely varies per proposal
+        gen = torch.Generator().manual_seed(seed + 7)
+        with torch.no_grad():
+            for name, p in model.named_parameters():
+                if "_ambiguous" in name:
+                    p.add_(0.02 * torch.randn(p.shape, generator=gen))
+
     rng = np.random.RandomState(seed + 1)
     text_feats = rng.randn(d["num_text"], d["ldim"]).astype(np.float32)
     model.model_language = FakeLanguage(text_feats)
@@ -203,7 +219,7 @@ def build_ref_model(d=DIMS, vl_fusion=False, seed=0, offset_scale=1.0):
     return model, text_feats
 
 
-def build_our_model(d=DIMS, vl_fusion=False, window_radius=16):
+def build_our_model(d=DIMS, vl_fusion=False, window_radius=16, proposal_ambiguous=0):
     import jax.numpy as jnp
 
     from ape_tpu.modeling.ape_deta.model import APEDeta, ChannelMapper
@@ -236,6 +252,7 @@ def build_our_model(d=DIMS, vl_fusion=False, window_radius=16):
             embed_dim=d["embed"], num_heads=d["heads"],
             feedforward_dim=d["ffn"], num_layers=d["layers"],
             num_feature_levels=5, look_forward_twice=False,
+            proposal_ambiguous=proposal_ambiguous,
         ),
         num_feature_levels=5, two_stage_num_proposals=d["queries"],
         assign_first_stage=True,

@@ -83,10 +83,18 @@ def install_detrex_stubs():
     tv_ops.boxes = tv_boxes
     tv_ops.nms = _nms
     tv_ops.batched_nms = _batched_nms
+    tv_misc = types.ModuleType("torchvision.ops.misc")
+
+    class _FrozenBatchNorm2d:  # imported (never used) by eva02_clip/utils.py
+        pass
+
+    tv_misc.FrozenBatchNorm2d = _FrozenBatchNorm2d
+    tv_ops.misc = tv_misc
     tv.ops = tv_ops
     sys.modules["torchvision"] = tv
     sys.modules["torchvision.ops"] = tv_ops
     sys.modules["torchvision.ops.boxes"] = tv_boxes
+    sys.modules["torchvision.ops.misc"] = tv_misc
 
     # ---------------- detrex.layers ----------------
     def inverse_sigmoid(x, eps=1e-3):

@@ -23,13 +23,17 @@ from tests.parity_harness import (
 )
 
 
-def _run_both(vl_fusion=False, offset_scale=1.0, h=None, w=None):
+def _run_both(vl_fusion=False, offset_scale=1.0, h=None, w=None, proposal_ambiguous=0):
     import torch
 
     import jax
     import jax.numpy as jnp
 
-    ref, text = build_ref_model(vl_fusion=vl_fusion, offset_scale=offset_scale)
+    ref, text = build_ref_model(
+        vl_fusion=vl_fusion,
+        offset_scale=offset_scale,
+        proposal_ambiguous=proposal_ambiguous,
+    )
     img, ours_img, sizes = make_image(h=h, w=w)
     with torch.no_grad():
         det, _, _ = ref(
@@ -38,7 +42,7 @@ def _run_both(vl_fusion=False, offset_scale=1.0, h=None, w=None):
         )
     stacks = ref._rec_stacks
 
-    ours = build_our_model(vl_fusion=vl_fusion)
+    ours = build_our_model(vl_fusion=vl_fusion, proposal_ambiguous=proposal_ambiguous)
     tf = jnp.asarray(text)[None]
     tv = jnp.ones((1, text.shape[0]), bool)
     args = (jnp.asarray(ours_img), jnp.asarray(sizes), tf, tv)
@@ -68,6 +72,17 @@ def test_full_model_output_parity(vl_fusion):
         _assert_close(f"pred_logits[{i}]", stacks["logits"][i], ours_l)
         _assert_close(f"pred_boxes[{i}]", stacks["boxes"][i], ours_b)
     _assert_close("pred_masks", stacks["masks"][-1], out["pred_masks"], tol=2e-4)
+
+
+def test_full_model_parity_proposal_ambiguous():
+    """proposal_ambiguous=1 (set by every reference flagship config): the
+    per-proposal argmax over duplicated enc-stage heads changes which class
+    logit AND coords feed the first-stage select; the head copies are
+    perturbed post-init so the argmax varies (deformable_detr.py:188-201,
+    deformable_transformer_vl.py:508-534)."""
+    stacks, det, out = _run_both(proposal_ambiguous=1)
+    _assert_close("pred_logits", stacks["logits"][-1], out["pred_logits"])
+    _assert_close("pred_boxes", stacks["boxes"][-1], out["pred_boxes"])
 
 
 def test_full_model_parity_padded_image():

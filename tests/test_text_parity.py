@@ -31,9 +31,12 @@ def _load_reference_transformer():
         sys.modules["timm"] = timm
         sys.modules["timm.models"] = models
         sys.modules["timm.models.layers"] = layers
-    if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
-        ops = types.ModuleType("torchvision.ops")
+    if "torchvision.ops.misc" not in sys.modules:
+        # may coexist with ref_stubs_detrex's torchvision stub (which carries
+        # nms/batched_nms but, before this guard keyed on the submodule,
+        # lacked ops.misc) — augment whatever is installed
+        tv = sys.modules.get("torchvision") or types.ModuleType("torchvision")
+        ops = sys.modules.get("torchvision.ops") or types.ModuleType("torchvision.ops")
         misc = types.ModuleType("torchvision.ops.misc")
 
         class _FBN:  # only imported, not used by the text tower

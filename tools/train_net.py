@@ -61,6 +61,26 @@ def synthetic_loader(batch_size, image_size, num_text, text_dim, max_gt=8, mask_
     return L()
 
 
+def build_language(cfg):
+    """Build the frozen language tower from cfg.language.
+
+    kind selects the family: default EVA02CLIP (modeling/text/wrapper.py);
+    "bert" / "t5" / "llama2" route to the HF wrappers
+    (ape/modeling/text/{bert,t5,llama2}_wrapper.py counterparts) — e.g. the
+    *_mdl_llama2 flagship configs."""
+    from ape_tpu.modeling.text.wrapper import EVA02CLIP
+
+    lang_cfg = dict(cfg.get("language", {}) or {})
+    kind = lang_cfg.pop("kind", "eva02clip")
+    if kind != "eva02clip":
+        from ape_tpu.modeling.text.hf_wrappers import build_hf_text_model
+
+        lang_cfg.pop("output_dim", None)
+        return build_hf_text_model(kind, **lang_cfg)
+    lang_cfg.setdefault("output_dim", int(cfg.train.get("text_dim", 1024)))
+    return EVA02CLIP(**lang_cfg)
+
+
 def build_text_fn(cfg, model_language=None):
     """Prompt-routing text features per batch (name/phrase/expression + bank).
 
@@ -266,7 +286,6 @@ def run_eval(cfg, model, params):
     from ape_tpu.engine.ape_wrapper import APE
     from ape_tpu.evaluation.eval_runner import evaluate_dataset
     from ape_tpu.evaluation.other_evals import aggregate_benchmark_suite
-    from ape_tpu.modeling.text.wrapper import EVA02CLIP
 
     tests = cfg.dataloader.get("tests", [])
     names = [t["dataset_name"] for t in tests if t["dataset_name"] in DatasetCatalog]
@@ -275,9 +294,7 @@ def run_eval(cfg, model, params):
         return {}
 
     num_text = int(cfg.train.get("num_text", 80))
-    lang_cfg = dict(cfg.get("language", {}) or {})
-    lang_cfg.setdefault("output_dim", int(cfg.train.get("text_dim", 1024)))
-    lang = EVA02CLIP(**lang_cfg)
+    lang = build_language(cfg)
     prompts = [t.get("prompt", "name") for t in tests if t["dataset_name"] in names]
     ape = APE(
         model, params, lang, dataset_names=names, dataset_prompts=prompts,
