@@ -38,12 +38,25 @@ from jax.experimental.pallas import tpu as pltpu
 from ape_tpu.ops.msda import level_start_index
 from ape_tpu.ops.msda_window_pallas_v2 import (
     VMEM_BUDGET,
+    VMEM_LIMIT,
     _PairGeom,
     _choose_tiles,
     _hat,
     _prep_planes,
     _tap_bounds,
 )
+
+
+import os
+
+# Merged backward kernel (one pass for d_off/d_att/d_value, in-kernel plane
+# fold) vs the round-2 split kernels. 0 selects the split path for A/B.
+BWD_MERGED = os.environ.get("APE_MSDA_BWD_MERGED", "1") != "0"
+# The merged kernel holds bf16 value slabs + f32 d-slabs + the f32 fold
+# accumulator at once, so it gets its own (larger) budget and tile caps.
+VMEM_BUDGET_BWD = int(os.environ.get("APE_MSDA_BWD_VMEM_MB", "48")) * 1024 * 1024
+TQ_CAP_BWD = int(os.environ.get("APE_MSDA_BWD_TQ_CAP", "32"))
+TW_CAP_BWD = int(os.environ.get("APE_MSDA_BWD_TW_CAP", "64"))
 
 
 def _dpos(z):
@@ -278,6 +291,7 @@ def _run_pair_grad_offatt(
             pltpu.VMEM((tq, tw, ph), jnp.float32),
             pltpu.SemaphoreType.DMA((len(g.planes),)),
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(bounds, offx_g, offy_g, att_g, g_g, planes)
 
@@ -494,6 +508,7 @@ def _run_pair_grad_value(
             pltpu.SemaphoreType.DMA((len(g.planes),)),
         ],
         input_output_aliases={5: 0},
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(bounds, offx_g, offy_g, att_g, g_g, dplanes0)
 
@@ -502,6 +517,379 @@ def _run_pair_grad_value(
     dplanes = dplanes[:, :, :, : planes_shape.shape[3], : planes_shape.shape[4], :]
     (d_value,) = fold(dplanes)
     return d_value.reshape(b, hv * wv, c)
+
+
+def _build_vp(v_l, g: _PairGeom, coverage_rows=0, coverage_cols=0):
+    """(B, Hv, Wv, C) -> the phase-decomposed padded array every plane is a
+    shifted/strided view of: (B, sphase, sy, R, K, C).
+
+    Mirrors _prep_planes up to (but not including) the per-plane slicing, plus
+    an x-phase decomposition for sx > 1 (x = k*sx + phase) so strided plane
+    views become contiguous-k views. plane p of _prep_planes satisfies
+        plane_p[..., j, :] == vp[:, phase_p, :, :, shift_p + j, :]
+    with (phase_p, shift_p) from _plane_fold_map. The merged backward kernel
+    accumulates d_value in THESE coordinates; jax.vjp of this function is the
+    exact fold back to the value grid (pad/reshape/repeat adjoints only).
+    """
+    b, hv, wv, c = v_l.shape
+    pad = g.pad
+    rows_needed = (g.hq // g.inv_y if g.inv_y > 1 else g.hq) + g.halo_y
+    hp = -(-(hv + 2 * pad) // g.sy) * g.sy
+    hp = max(hp, rows_needed * g.sy)
+    if g.sx > 1:
+        wp_cols = g.wq
+        wpad = g.int_x + g.win + g.sx * wp_cols
+    else:
+        wp_cols = g.wq + g.max_a8 + 8
+        wpad = max(wv + 2 * pad, (wp_cols // g.inv_x + 1) + g.win)
+    vpad = jnp.pad(
+        v_l,
+        ((0, 0), (pad, hp - hv - pad), (pad, max(wpad - wv - pad, pad)), (0, 0)),
+    )
+    bdim, hpp, wpp, _ = vpad.shape
+    vp = vpad.reshape(b, hpp // g.sy, g.sy, wpp, c).transpose(0, 2, 1, 3, 4)
+    if g.sx > 1:
+        wk = -(-wpp // g.sx)
+        vp = jnp.pad(vp, ((0, 0),) * 3 + ((0, wk * g.sx - wpp), (0, 0)))
+        vp = vp.reshape(b, g.sy, vp.shape[2], wk, g.sx, c).transpose(0, 4, 1, 2, 3, 5)
+    else:
+        if g.inv_x > 1:
+            vp = jnp.repeat(vp, g.inv_x, axis=3)
+        vp = vp[:, None]  # sphase = 1
+    pr = max(0, coverage_rows - vp.shape[3])
+    pc = max(0, coverage_cols - vp.shape[4])
+    if pr or pc:
+        vp = jnp.pad(vp, ((0, 0),) * 3 + ((0, pr), (0, pc), (0, 0)))
+    return vp
+
+
+def _plane_fold_map(g: _PairGeom):
+    """Per plane index: (phase, shift) into _build_vp coordinates."""
+    out = []
+    for p, key in enumerate(g.planes):
+        if g.sx > 1:
+            u = key
+            out.append((((g.int_x + u) % g.sx), (g.int_x + u) // g.sx))
+        else:
+            out.append((0, key))  # key = the sub-8 column shift b
+    return out
+
+
+def _grad_kernel_merged(
+    bounds_ref,  # (B, nty, ntx, 4) int32 SMEM
+    offx_ref,  # (1, tq, tw, PH)
+    offy_ref,
+    att_ref,
+    g_ref,  # (1, tq, tw, C) cotangent
+    planes_hbm,  # forward value planes (P, B, sy, R, Wp, C) bf16, ANY
+    dvp_in,  # ANY: (B, sphase, sy, Rvp, Wvp, C) f32, aliased to dvp_out
+    dox_ref,
+    doy_ref,
+    datt_ref,
+    dvp_out,  # ANY alias of dvp_in
+    slabs,  # VMEM (P, sy, tile_rows, slab_w, C) plane_dtype
+    dslab,  # VMEM (P, sy, tile_rows, slab_w, C) f32
+    dacc,  # VMEM (sphase, sy, tile_rows, slab_wd, C) f32
+    dox_acc,  # VMEM (tq, tw, PH) f32
+    doy_acc,
+    datt_acc,
+    sems,  # DMA (P,)
+    rw_sem,  # DMA () for the dvp read/write
+    *,
+    g: _PairGeom,
+    heads,
+    num_points,
+    tq,
+    tw,
+    slab_w,
+    slab_wd,
+    single_x,
+    single_y,
+):
+    """One pass producing d_off, d_att AND the d_value fold input.
+
+    Shares the value-plane stream and the per-tap hat/attention math that the
+    split kernels (_grad_kernel_offatt / _grad_kernel_value) each redo, and
+    replaces the 8-plane f32 dplanes HBM choreography (zero-init + RMW + XLA
+    fold, ~5x the value bytes in traffic) with: per-plane VMEM d-slabs ->
+    one static shifted fold per plane per tile into vp-space -> a single RMW
+    against the (1-plane-sized) dvp buffer. The u loop is statically unrolled
+    with pl.when predication (d-slab stores need static offsets; the off/att
+    side rides along, so inactive taps still skip).
+    """
+    b = pl.program_id(0)
+    ty = pl.program_id(1)
+    tx = pl.program_id(2)
+    n_planes = len(g.planes)
+    rows_q = tq if g.sy > 1 else tq // g.inv_y
+    tile_rows = rows_q + g.halo_y
+    sphase = g.sx if g.sx > 1 else 1
+
+    row_start = 0 if single_y else ty * rows_q
+    col_start = 0 if single_x else pl.multiple_of(tx * tw, 8)
+    copies = [
+        pltpu.make_async_copy(
+            planes_hbm.at[
+                p, b, :, pl.ds(row_start, tile_rows), pl.ds(col_start, slab_w), :
+            ],
+            slabs.at[p],
+            sems.at[p],
+        )
+        for p in range(n_planes)
+    ]
+    for cp in copies:
+        cp.start()
+    # prefetch the dvp region this tile folds into; the sequential grid plus
+    # the end-of-tile write wait below make the overlapping-halo RMW safe.
+    # read through the input alias, write through the output alias (same
+    # memory on TPU; interpret mode keeps them distinct buffers)
+    region = lambda ref: ref.at[
+        b, :, :, pl.ds(row_start, tile_rows), pl.ds(col_start, slab_wd), :
+    ]
+    rd = pltpu.make_async_copy(region(dvp_out), dacc, rw_sem)
+    rd.start()
+
+    h, npt = heads, num_points
+    radius = g.radius
+    ox_raw = offx_ref[0]
+    oy_raw = offy_ref[0]
+    ox = jnp.clip(ox_raw, -radius, radius)
+    oy = jnp.clip(oy_raw, -radius, radius)
+    att = att_ref[0]
+    gt = g_ref[0].astype(jnp.float32)
+
+    pad = g.pad
+    if g.rem_x is None:
+        qx = jax.lax.broadcasted_iota(jnp.int32, (tq, tw, 1), 1).astype(jnp.float32)
+        rem_x = ((qx % g.inv_x) + 0.5) / g.inv_x - 0.5
+    else:
+        rem_x = g.rem_x
+    if g.rem_y is None:
+        qy = jax.lax.broadcasted_iota(jnp.int32, (tq, tw, 1), 0).astype(jnp.float32)
+        rem_y = ((qy % g.inv_y) + 0.5) / g.inv_y - 0.5
+    else:
+        rem_y = g.rem_y
+    px = ox + (pad + rem_x)
+    py = oy + (pad + rem_y)
+    mx = (jnp.abs(ox_raw) <= radius).astype(jnp.float32)
+    my = (jnp.abs(oy_raw) <= radius).astype(jnp.float32)
+
+    c = g_ref.shape[-1]
+    e2r = jax.lax.broadcasted_iota(jnp.int32, (h * npt, c), 0)
+    e2c = jax.lax.broadcasted_iota(jnp.int32, (h * npt, c), 1)
+    expand2 = (e2c % h == e2r % h).astype(jnp.bfloat16)
+    etr = jax.lax.broadcasted_iota(jnp.int32, (c, h * npt), 0)
+    etc = jax.lax.broadcasted_iota(jnp.int32, (c, h * npt), 1)
+    expand2T = (etr % h == etc % h).astype(jnp.bfloat16)
+
+    for cp in copies:
+        cp.wait()
+
+    dox_acc[...] = jnp.zeros_like(dox_acc)
+    doy_acc[...] = jnp.zeros_like(doy_acc)
+    datt_acc[...] = jnp.zeros_like(datt_acc)
+    dslab[...] = jnp.zeros_like(dslab)
+
+    v_lo = bounds_ref[b, ty, tx, 2]
+    v_hi = bounds_ref[b, ty, tx, 3]
+    u_lo = bounds_ref[b, ty, tx, 0]
+    u_hi = bounds_ref[b, ty, tx, 1]
+
+    gt_bf = gt.astype(jnp.bfloat16)
+
+    def v_body(v, _):
+        vf = v.astype(jnp.float32)
+        hy = _hat(vf - py)
+        dhy = _dpos(vf - py)
+        ahy = att * hy
+        if g.sy > 1:
+            phi_y = (g.int_y + v) % g.sy
+            dy = (g.int_y + v) // g.sy
+        else:
+            phi_y = 0
+            dy = v
+        for u in range(g.win):
+
+            @pl.when((u >= u_lo) & (u <= u_hi))
+            def _():
+                plane_idx, a8 = g.u_to_plane[u]
+                hx = _hat(u - px)
+                # ---- d_off / d_att: s_h = <g, view>_D via one K=C dot ----
+                view = slabs[plane_idx, phi_y, pl.ds(dy, rows_q), pl.ds(a8, tw), :]
+                if g.inv_y > 1:
+                    view = jnp.broadcast_to(
+                        view[:, None], (rows_q, g.inv_y, tw, view.shape[-1])
+                    ).reshape(rows_q * g.inv_y, tw, view.shape[-1])
+                gv = gt * view.astype(jnp.float32)
+                s = jax.lax.dot_general(
+                    gv.astype(jnp.bfloat16), expand2T,
+                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                sa = s * att
+                datt_acc[...] = datt_acc[...] + s * (hy * hx)
+                dox_acc[...] = dox_acc[...] + sa * (hy * _dpos(u - px))
+                doy_acc[...] = doy_acc[...] + sa * (dhy * hx)
+                # ---- d_value: w (x) g into the plane d-slab ----
+                whp = ahy * hx
+                w = jax.lax.dot_general(
+                    whp.astype(jnp.bfloat16), expand2,
+                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                contrib = w * gt
+                if g.inv_y > 1:
+                    contrib = contrib.reshape(rows_q, g.inv_y, tw, c).sum(axis=1)
+                dslab[plane_idx, phi_y, pl.ds(dy, rows_q), a8 : a8 + tw, :] = (
+                    dslab[plane_idx, phi_y, pl.ds(dy, rows_q), a8 : a8 + tw, :]
+                    + contrib
+                )
+
+        return 0
+
+    jax.lax.fori_loop(v_lo, v_hi + 1, v_body, 0)
+    dox_ref[0] = dox_acc[...] * mx
+    doy_ref[0] = doy_acc[...] * my
+    datt_ref[0] = datt_acc[...]
+
+    # fold the plane d-slabs into vp coordinates: one static (sub-8) shifted
+    # add per plane per tile — the unaligned-slice relayout the per-tap path
+    # must avoid is amortized over the whole tap loop here
+    rd.wait()
+    for p, (phase, shift) in enumerate(_plane_fold_map(g)):
+        dacc[phase, :, :, shift : shift + slab_w, :] = (
+            dacc[phase, :, :, shift : shift + slab_w, :] + dslab[p]
+        )
+    wr = pltpu.make_async_copy(dacc, region(dvp_out), rw_sem)
+    wr.start()
+    wr.wait()
+
+
+def _run_pair_grad_merged(
+    v_l, off_pair, att_pair, g_out, hq, wq, hv, wv, radius, heads, head_dim,
+    num_points, plane_dtype=jnp.bfloat16, interpret=False,
+):
+    """d_off, d_att, d_value for one (lq, lv) pair in a single kernel pass."""
+    b = v_l.shape[0]
+    c = heads * head_dim
+    g = _PairGeom(hq, wq, hv, wv, radius)
+    sphase = g.sx if g.sx > 1 else 1
+
+    planes = _prep_planes(v_l.reshape(b, hv, wv, c), g, plane_dtype)
+    fold_map = _plane_fold_map(g)
+    max_shift = max(s for _, s in fold_map)
+
+    # budget: bf16 slabs + f32 dslab + f32 dacc + stack temporaries
+    def fits(tq, tw):
+        rows_q = tq if g.sy > 1 else tq // g.inv_y
+        t_rows = rows_q + g.halo_y
+        sl_w = -(-(tw + g.max_a8) // 8) * 8
+        sl_wd = -(-(sl_w + max_shift) // 8) * 8
+        n = len(g.planes)
+        slab_b = n * g.sy * t_rows * sl_w * c * np.dtype(plane_dtype).itemsize
+        dslab_b = n * g.sy * t_rows * sl_w * c * 4
+        dacc_b = sphase * g.sy * t_rows * sl_wd * c * 4
+        accs = 3 * tq * tw * heads * num_points * 4
+        blocks = tq * tw * (4 * 32 * 2 + 3 * 32 * 2 + 2 * c) * 4
+        stack = 3 * tq * tw * c * 4
+        return slab_b + dslab_b + dacc_b + accs + blocks + stack + 512 * 1024
+
+    tq = min(TQ_CAP_BWD, g.hq)
+    while g.hq % tq:
+        tq //= 2
+    tw = min(TW_CAP_BWD, g.wq)
+    while g.wq % tw:
+        tw //= 2
+    min_tq = max(1, g.inv_y)
+    while fits(tq, tw) > VMEM_BUDGET_BWD:
+        tw_ok = (tw // 2) % 8 == 0 or (tw // 2) == g.wq
+        if tw > 8 and tw >= tq and tw_ok and g.wq % (tw // 2) == 0:
+            tw //= 2
+        elif tq > min_tq and (tq // 2) % min_tq == 0 and g.hq % (tq // 2) == 0:
+            tq //= 2
+        else:
+            break
+    rows_q = tq if g.sy > 1 else tq // g.inv_y
+    tile_rows = rows_q + g.halo_y
+    slab_w = -(-(tw + g.max_a8) // 8) * 8
+    slab_wd = -(-(slab_w + max_shift) // 8) * 8
+
+    need_rows = (hq // tq - 1) * rows_q + tile_rows
+    need_cols_planes = (wq // tw - 1) * tw + slab_w
+    need_cols_vp = (wq // tw - 1) * tw + slab_wd
+    pr = max(0, need_rows - planes.shape[3])
+    pc = max(0, need_cols_planes - planes.shape[4])
+    if pr or pc:
+        planes = jnp.pad(planes, ((0, 0),) * 3 + ((0, pr), (0, pc), (0, 0)))
+
+    v_zero = jnp.zeros((b, hv, wv, c), jnp.float32)
+    _, fold = jax.vjp(
+        lambda v: _build_vp(v, g, need_rows, need_cols_vp), v_zero
+    )
+    vp_shape = jax.eval_shape(
+        lambda v: _build_vp(v, g, need_rows, need_cols_vp), v_zero
+    ).shape
+    dvp0 = jnp.zeros(vp_shape, jnp.float32)
+
+    ph = heads * num_points
+    offx_g = off_pair[..., 0].transpose(0, 1, 3, 2).reshape(b, hq, wq, ph)
+    offy_g = off_pair[..., 1].transpose(0, 1, 3, 2).reshape(b, hq, wq, ph)
+    att_g = att_pair.transpose(0, 1, 3, 2).reshape(b, hq, wq, ph)
+    g_g = g_out.reshape(b, hq, wq, c)
+    bounds = _tap_bounds(offx_g, offy_g, g, tq, tw)
+
+    kernel = functools.partial(
+        _grad_kernel_merged,
+        g=g,
+        heads=heads,
+        num_points=num_points,
+        tq=tq,
+        tw=tw,
+        slab_w=slab_w,
+        slab_wd=slab_wd,
+        single_x=(wq // tw) == 1,
+        single_y=(hq // tq) == 1,
+    )
+    qspec = lambda shp: pl.BlockSpec(
+        shp, lambda bb, ty, tx: (bb, ty, tx, 0), memory_space=pltpu.VMEM
+    )
+    dox, doy, datt, dvp = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((b, hq, wq, ph), jnp.float32)] * 3
+        + [jax.ShapeDtypeStruct(vp_shape, jnp.float32)],
+        grid=(b, hq // tq, wq // tw),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            qspec((1, tq, tw, ph)),
+            qspec((1, tq, tw, ph)),
+            qspec((1, tq, tw, ph)),
+            qspec((1, tq, tw, c)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[qspec((1, tq, tw, ph))] * 3
+        + [pl.BlockSpec(memory_space=pltpu.ANY)],
+        scratch_shapes=[
+            pltpu.VMEM((len(g.planes), g.sy, tile_rows, slab_w, c), plane_dtype),
+            pltpu.VMEM((len(g.planes), g.sy, tile_rows, slab_w, c), jnp.float32),
+            pltpu.VMEM((sphase, g.sy, tile_rows, slab_wd, c), jnp.float32),
+            pltpu.VMEM((tq, tw, ph), jnp.float32),
+            pltpu.VMEM((tq, tw, ph), jnp.float32),
+            pltpu.VMEM((tq, tw, ph), jnp.float32),
+            pltpu.SemaphoreType.DMA((len(g.planes),)),
+            pltpu.SemaphoreType.DMA,
+        ],
+        input_output_aliases={6: 3},
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        interpret=interpret,
+    )(bounds, offx_g, offy_g, att_g, g_g, planes, dvp0)
+
+    def back(x):
+        return x.reshape(b, hq * wq, num_points, heads).transpose(0, 1, 3, 2)
+
+    d_off = jnp.stack([back(dox), back(doy)], axis=-1)
+    (d_value,) = fold(dvp)
+    return d_off, back(datt), d_value.reshape(b, hv * wv, c)
 
 
 def ms_deform_attn_window_pallas_bwd(
@@ -576,14 +964,20 @@ def ms_deform_attn_window_pallas_bwd(
                 d_att = d_att.at[:, starts[lq] : starts[lq] + hq * wq, :, lv].add(da)
                 continue
 
-            do_pair, da_pair = _run_pair_grad_offatt(
-                v_l, off_pair, att_pair, g_pair, hq, wq, hv, wv, radius, h, d, p,
-                interpret=interpret,
-            )
-            dv_pair = _run_pair_grad_value(
-                off_pair, att_pair, g_pair, hq, wq, hv, wv, radius, h, d, p,
-                interpret=interpret,
-            )
+            if BWD_MERGED:
+                do_pair, da_pair, dv_pair = _run_pair_grad_merged(
+                    v_l, off_pair, att_pair, g_pair, hq, wq, hv, wv, radius,
+                    h, d, p, interpret=interpret,
+                )
+            else:
+                do_pair, da_pair = _run_pair_grad_offatt(
+                    v_l, off_pair, att_pair, g_pair, hq, wq, hv, wv, radius,
+                    h, d, p, interpret=interpret,
+                )
+                dv_pair = _run_pair_grad_value(
+                    off_pair, att_pair, g_pair, hq, wq, hv, wv, radius, h, d, p,
+                    interpret=interpret,
+                )
             d_value_levels[lv] = d_value_levels[lv] + dv_pair
             d_off = d_off.at[:, starts[lq] : starts[lq] + hq * wq, :, lv].add(do_pair)
             d_att = d_att.at[:, starts[lq] : starts[lq] + hq * wq, :, lv].add(da_pair)

@@ -55,9 +55,23 @@ def _hat(x):
 # traffic). The production kernel no longer chunks; kept for probe scripts.
 U_CHUNK = int(os.environ.get("APE_MSDA_U_CHUNK", "1"))
 
-# VMEM budget for slabs+accumulator, bytes. 9 MiB was the round-1 safe point;
-# larger budgets shrink the halo fraction of each DMA (tile_rows grows).
-VMEM_BUDGET = int(os.environ.get("APE_MSDA_VMEM_MB", "9")) * 1024 * 1024
+# VMEM budget for slabs+accumulator, bytes. 9 MiB was the round-1 safe point
+# under Mosaic's default 16 MiB scoped-vmem limit; round 3 raises the limit
+# explicitly (CompilerParams.vmem_limit_bytes below), so bigger budgets buy
+# bigger tiles = smaller halo fraction per DMA and fewer grid steps.
+VMEM_BUDGET = int(os.environ.get("APE_MSDA_VMEM_MB", "48")) * 1024 * 1024
+
+# Mosaic scoped-vmem limit for the pair kernels. The physical VMEM is 128 MiB
+# on v5e; the compiler default (16 MiB) exists to keep multi-kernel pipelines
+# co-resident, but these kernels run alone and want the space for slabs.
+VMEM_LIMIT = int(os.environ.get("APE_MSDA_VMEM_LIMIT_MB", "110")) * 1024 * 1024
+
+# Tile-size caps (pre-budget). (32, 64) was the round-1/2 ceiling under the
+# 16 MiB scoped limit; with the raised limit, 48 MiB + (64, 64) measured best
+# on the big pairs (A/B at OFF_SCALE=2: 9.05 -> 8.45 ms over the top-3 pairs;
+# TW 128/256 regress or crash Mosaic on inv pairs).
+TQ_CAP = int(os.environ.get("APE_MSDA_TQ_CAP", "64"))
+TW_CAP = int(os.environ.get("APE_MSDA_TW_CAP", "64"))
 
 # Double-buffer the slab DMAs: prefetch tile i+1's planes while computing tile
 # i. dma_only probe: 1.6 ms of the 4.56 ms same-res pair is serialized DMA
@@ -445,10 +459,10 @@ def _choose_tiles(g: _PairGeom, c: int, plane_bytes: int, budget=None, dbuf=Fals
         reserve = 512 * 1024  # alignment pad + semaphores + iota/expand consts
         return slab_bytes(tq, tw) + exp_bytes(tq, tw) + acc + blocks + hx + stack + reserve
 
-    tq = min(32, g.hq)
+    tq = min(TQ_CAP, g.hq)
     while g.hq % tq:
         tq //= 2
-    tw = min(64, g.wq)
+    tw = min(TW_CAP, g.wq)
     while g.wq % tw:
         tw //= 2
     min_tq = max(1, g.inv_y)
@@ -598,6 +612,7 @@ def _run_pair_v2(
         + [
             pltpu.SemaphoreType.DMA(((2,) if DBUF else ()) + (len(g.planes),)),
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
         **kwargs,
     )(*inputs)
