@@ -66,3 +66,28 @@ def test_bwd_clip_masks_gradients():
     )
     assert float(do[0, 5, 2, 0, 1, 0]) == 0.0
     assert float(do[0, 7, 1, 1, 0, 1]) == 0.0
+
+
+def test_bwd_batch2_matches_exact_vjp():
+    """b=2: the merged kernel's per-tile dvp RMW walks the batch as the
+    outermost sequential grid dim; batch rows must not bleed into each other."""
+    rng = np.random.RandomState(3)
+    S = sum(h * w for h, w in SHAPES)
+    value = jnp.asarray(rng.randn(2, S, H, D), jnp.float32)
+    off = jnp.asarray(rng.randn(2, S, H, len(SHAPES), P, 2) * 0.6 + 0.123, jnp.float32)
+    att = jnp.asarray(rng.rand(2, S, H, len(SHAPES), P), jnp.float32)
+    g = jnp.asarray(rng.randn(2, S, H * D), jnp.float32)
+
+    _, vjp = jax.vjp(
+        lambda v, o, a: _exact_equiv(v, SHAPES, o, a, RADIUS), value, off, att
+    )
+    dv_ref, do_ref, da_ref = vjp(g)
+    dv, do, da = ms_deform_attn_window_pallas_bwd(
+        value, SHAPES, off, att, g, radius=RADIUS, interpret=True
+    )
+    for name, a, r in (("d_value", dv, dv_ref), ("d_off", do, do_ref), ("d_att", da, da_ref)):
+        scale = max(1.0, float(jnp.abs(r).max()))
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(r), atol=2e-2 * scale,
+            err_msg=f"{name} batch-2 mismatch",
+        )
