@@ -35,10 +35,14 @@ def main():
         dtype=jnp.dtype(DTYPE),
     )
     rng = np.random.RandomState(0)
-    images = jnp.asarray(rng.randn(1, IMG, IMG, 3), jnp.float32)
-    image_sizes = jnp.asarray([[IMG, IMG]], jnp.int32)
-    text = jnp.asarray(rng.randn(1, NUM_TEXT, 1024), jnp.float32)
-    text_valid = jnp.ones((1, NUM_TEXT), bool)
+    # headline metric stays single-image (matches the A100 estimate's
+    # protocol); BENCH_BATCH>1 measures batched throughput for PERF.md
+    # (the reference's own eval_time.sh times at bs 8)
+    bsz = int(os.environ.get("BENCH_BATCH", 1))
+    images = jnp.asarray(rng.randn(bsz, IMG, IMG, 3), jnp.float32)
+    image_sizes = jnp.asarray([[IMG, IMG]] * bsz, jnp.int32)
+    text = jnp.asarray(rng.randn(bsz, NUM_TEXT, 1024), jnp.float32)
+    text_valid = jnp.ones((bsz, NUM_TEXT), bool)
 
     # synthesize params from shapes only: model.init would compile the whole
     # forward a second time through the slow remote-compile tunnel
@@ -70,12 +74,13 @@ def main():
         out = fwd(params, images + float(k) * 1e-3, image_sizes, text, text_valid)
     np.asarray(out[0][..., :1])
     dt = (time.perf_counter() - t0) / ITERS
-    img_per_s = 1.0 / dt
+    img_per_s = bsz / dt
 
+    tag = f" batch {bsz}" if bsz > 1 else ""
     print(
         json.dumps(
             {
-                "metric": f"APE-Ti inference images/sec/chip @ {IMG}x{IMG}",
+                "metric": f"APE-Ti inference images/sec/chip @ {IMG}x{IMG}{tag}",
                 "value": round(img_per_s, 3),
                 "unit": "img/s",
                 "vs_baseline": round(img_per_s / A100_EST_IMG_PER_S, 3),
