@@ -95,3 +95,28 @@ def test_v2_kernel_interpret_parity(rng):
     )
     assert got_bf.dtype == jnp.bfloat16
     assert float(jnp.abs(ref - got_bf.astype(jnp.float32)).max()) < 6e-2
+
+
+def test_v2_large_tile_path(rng):
+    """The (64, 64) tile path (round-3 TQ_CAP=64 default) — big-grid tiles
+    never engage on the 16^2 suite shapes above, so pin them here."""
+    import jax.numpy as jnp
+
+    from ape_tpu.ops.msda_window import ms_deform_attn_window
+    from ape_tpu.ops.msda_window_pallas_v2 import _run_pair_v2
+
+    h, d, p, r = 4, 8, 2, 2
+    hq = wq = hv = wv = 64
+    v4 = jnp.asarray(rng.randn(1, hv * wv, h, d), jnp.float32)
+    off = jnp.asarray(rng.uniform(-4, 4, (1, hq * wq, h, p, 2)), jnp.float32)
+    att = jnp.asarray(rng.rand(1, hq * wq, h, p), jnp.float32)
+    ref = ms_deform_attn_window(
+        v4, ((hv, wv),), off[:, :, :, None], att[:, :, :, None], radius=r
+    ).reshape(1, hq * wq, h * d)
+    v_dmaj = v4.transpose(0, 1, 3, 2).reshape(1, hv * wv, h * d)
+    got = _run_pair_v2(
+        v_dmaj, off, att, hq, wq, hv, wv, r, h, d, p,
+        interpret=True, tile_override=(64, 64),
+    )
+    got = got.reshape(1, hq * wq, d, h).transpose(0, 1, 3, 2).reshape(ref.shape)
+    assert float(jnp.abs(ref - got).max()) < 2e-2  # bf16 planes
