@@ -31,7 +31,9 @@ _cache_dir = os.environ.get(
 )
 os.makedirs(_cache_dir, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+# persist even sub-second compiles: the slow tier is hundreds of small jits
+# (1-core VM — every skipped recompile counts), not a few giant ones
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import numpy as np

@@ -59,14 +59,19 @@ def test_convert_covers_ape_ti_tree(rng):
     check the converter hits a large fraction of the real parameter set."""
     model = build_ape_ti(img_size=64, num_queries=12, window_radius=2)
     x = jnp.zeros((1, 64, 64, 3))
-    params = model.init(
-        jax.random.PRNGKey(0),
-        x,
-        jnp.asarray([[64, 64]]),
-        jnp.zeros((1, 4, 1024)),
-        jnp.ones((1, 4), bool),
+    # only names+shapes matter here: eval_shape skips XLA compile/execute of
+    # the full forward (~60 s -> seconds on CPU)
+    shapes = jax.eval_shape(
+        lambda: model.init(
+            jax.random.PRNGKey(0),
+            x,
+            jnp.asarray([[64, 64]]),
+            jnp.zeros((1, 4, 1024)),
+            jnp.ones((1, 4), bool),
+        )
     )["params"]
-    flat = flatten_tree(jax.tree.map(np.asarray, params))
+    params = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), shapes)
+    flat = flatten_tree(params)
 
     # build the torch-style dict by inverting our naming rules
     sd = {}

@@ -13,11 +13,14 @@ from ape_tpu.ops.msda import ms_deform_attn
 from ape_tpu.ops.msda_decoder import ms_deform_attn_dense
 
 SHAPES = ((13, 17), (7, 9), (4, 4))
+# the grad tests pay tracing for fwd+bwd of every level's separable build —
+# two odd-shaped levels already cover the blocked/edge paths
+SHAPES_2L = ((13, 17), (7, 9))
 
 
-def _inputs(rng, b=2, q=31, h=4, d=8, p=4):
-    l = len(SHAPES)
-    s = sum(hh * ww for hh, ww in SHAPES)
+def _inputs(rng, b=2, q=31, h=4, d=8, p=4, shapes=SHAPES):
+    l = len(shapes)
+    s = sum(hh * ww for hh, ww in shapes)
     v = jnp.asarray(rng.randn(b, s, h, d), jnp.float32)
     loc = jnp.asarray(rng.uniform(-0.2, 1.2, (b, q, h, l, p, 2)), jnp.float32)
     w = jax.nn.softmax(jnp.asarray(rng.randn(b, q, h, l * p), jnp.float32), -1)
@@ -32,15 +35,15 @@ def test_forward_parity(rng):
 
 
 def test_grad_parity(rng):
-    v, loc, w = _inputs(rng, q=9)
+    v, loc, w = _inputs(rng, q=9, shapes=SHAPES_2L)
 
     def f_ref(v, loc, w):
-        return (ms_deform_attn(v, SHAPES, loc, w) ** 2).sum()
+        return (ms_deform_attn(v, SHAPES_2L, loc, w) ** 2).sum()
 
     def f_got(v, loc, w):
         return (
             ms_deform_attn_dense(
-                v, SHAPES, loc, w, precision=jax.lax.Precision.HIGHEST
+                v, SHAPES_2L, loc, w, precision=jax.lax.Precision.HIGHEST
             )
             ** 2
         ).sum()
@@ -54,7 +57,7 @@ def test_grad_parity(rng):
         )
 
 
-@pytest.mark.parametrize("row_block", [1, 3, 8, 64])
+@pytest.mark.parametrize("row_block", [1, 3, 64])
 def test_row_blocking_invariance(rng, row_block):
     v, loc, w = _inputs(rng, q=5)
     base = ms_deform_attn_dense(
@@ -80,13 +83,13 @@ def test_hybrid_decoder_vjp_matches_exact(rng):
     """ms_deform_attn_decoder: gather fwd + dense bwd == pure gather autodiff."""
     from ape_tpu.ops.msda_decoder import ms_deform_attn_decoder
 
-    v, loc, w = _inputs(rng, q=7)
+    v, loc, w = _inputs(rng, q=7, shapes=SHAPES_2L)
 
     def f_h(v, loc, w):
-        return (ms_deform_attn_decoder(v, SHAPES, loc, w) ** 2).sum()
+        return (ms_deform_attn_decoder(v, SHAPES_2L, loc, w) ** 2).sum()
 
     def f_e(v, loc, w):
-        return (ms_deform_attn(v, SHAPES, loc, w) ** 2).sum()
+        return (ms_deform_attn(v, SHAPES_2L, loc, w) ** 2).sum()
 
     np.testing.assert_allclose(float(f_h(v, loc, w)), float(f_e(v, loc, w)), rtol=1e-6)
     gh = jax.grad(f_h, (0, 1, 2))(v, loc, w)

@@ -1,16 +1,25 @@
-"""Pallas window-MSDA kernel vs the XLA window reference (interpret mode on CPU)."""
+"""Pallas window-MSDA kernels vs the XLA window reference (interpret mode on CPU).
+
+Interpret mode executes the kernel per grid cell through the JAX CPU path, so
+these tests are budgeted: the tap unroll is O(win^2) per pair and tracing is
+per unique pair geometry. Geometry coverage (incl. the production 5-level
+pyramid's inv8/inv16 and sx8/sx16 pairs) runs the PRODUCTION v2 kernel at
+radius 2; the radius-4 window, u-loop variants, bf16 partials, and batch>1
+each get the smallest geometry that exercises the path. The superseded v1
+kernel (experiments/) keeps one cheap smoke test.
+"""
 
 import pytest
 
 pytestmark = pytest.mark.slow
 
 import numpy as np
-import pytest
 
+import jax
 import jax.numpy as jnp
 
 from ape_tpu.ops.msda_window import ms_deform_attn_window
-from experiments.msda_window_pallas_v1 import ms_deform_attn_window_pallas
+from ape_tpu.ops.msda_window_pallas_v2 import ms_deform_attn_window_pallas_v2
 
 
 def make_inputs(rng, b=1, heads=2, d=8, spatial_shapes=((16, 16), (8, 8), (4, 4)), p=2, max_off=3.0):
@@ -26,26 +35,86 @@ def make_inputs(rng, b=1, heads=2, d=8, spatial_shapes=((16, 16), (8, 8), (4, 4)
 @pytest.mark.parametrize(
     "spatial_shapes,radius",
     [
+        # same-res / inv2 / inv4 / sx2 / sx4 pairs
         (((16, 16), (8, 8), (4, 4)), 2),
+        # radius-4 window (the production default tap count) on one pair
         (((16, 16),), 4),
-        (((32, 32), (16, 16), (8, 8), (4, 4), (2, 2)), 2),
+        # extreme production pyramid ratios: inv8/inv16 + sx8/sx16 pairs, with
+        # the middle levels dropped (interpret cost is per unique pair trace:
+        # this hits the same ratio set in 9 pairs instead of 25)
+        (((32, 32), (4, 4), (2, 2)), 2),
     ],
 )
-def test_pallas_matches_xla_window(rng, spatial_shapes, radius):
+def test_v2_matches_xla_window(rng, spatial_shapes, radius):
     value, off, w = make_inputs(rng, spatial_shapes=spatial_shapes, max_off=radius + 2)
     ref = ms_deform_attn_window(
         jnp.asarray(value), spatial_shapes, jnp.asarray(off), jnp.asarray(w), radius=radius
     )
-    out = ms_deform_attn_window_pallas(
+    out = ms_deform_attn_window_pallas_v2(
         jnp.asarray(value), spatial_shapes, jnp.asarray(off), jnp.asarray(w),
         radius=radius, interpret=True,
     )
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+    # bf16 value planes inside the kernel
+    assert float(jnp.abs(jnp.asarray(out) - ref).max()) < 2e-2
 
 
-def test_pallas_batch2(rng):
+def test_v2_batch2(rng):
+    """Batch dim walks the outermost grid axis; rows must not bleed."""
     spatial_shapes = ((8, 8), (4, 4))
     value, off, w = make_inputs(rng, b=2, spatial_shapes=spatial_shapes)
+    ref = ms_deform_attn_window(
+        jnp.asarray(value), spatial_shapes, jnp.asarray(off), jnp.asarray(w), radius=2
+    )
+    out = ms_deform_attn_window_pallas_v2(
+        jnp.asarray(value), spatial_shapes, jnp.asarray(off), jnp.asarray(w),
+        radius=2, interpret=True,
+    )
+    assert float(jnp.abs(jnp.asarray(out) - ref).max()) < 2e-2
+
+
+def test_v2_uloop_variants_and_bf16(rng):
+    """Both u-loop modes (dynamic tap-skip fori vs static unrolled chain) and
+    the bf16 cross-pair-partials path must agree with the oracle."""
+    import ape_tpu.ops.msda_window_pallas_v2 as v2mod
+
+    # single level: the variants differ only inside the pair kernel, and each
+    # USKIP mode re-traces every pair — keep the trace count at 1 per mode
+    # (cross-pair chaining is covered by the parity and batch tests above)
+    shapes = ((16, 16),)
+    s = sum(h * w for h, w in shapes)
+    b, h, d, p = 1, 4, 8, 2
+    l = len(shapes)
+    v = jnp.asarray(rng.randn(b, s, h, d), jnp.float32)
+    off = jnp.asarray(rng.uniform(-4, 4, (b, s, h, l, p, 2)), jnp.float32)
+    att = jax.nn.softmax(jnp.asarray(rng.randn(b, s, h, l * p), jnp.float32), -1)
+    att = att.reshape(b, s, h, l, p)
+    ref = ms_deform_attn_window(v, shapes, off, att, radius=2)
+
+    orig = v2mod.USKIP
+    try:
+        for uskip in (0, 1, 2):
+            v2mod.USKIP = uskip
+            got = ms_deform_attn_window_pallas_v2(
+                v, shapes, off, att, radius=2, interpret=True
+            )
+            assert float(jnp.abs(ref - got).max()) < 2e-2, f"USKIP={uskip}"
+    finally:
+        v2mod.USKIP = orig
+
+    # bf16 value path: partials are carried bf16 between pair kernels
+    got_bf = ms_deform_attn_window_pallas_v2(
+        v.astype(jnp.bfloat16), shapes, off, att, radius=2, interpret=True
+    )
+    assert got_bf.dtype == jnp.bfloat16
+    assert float(jnp.abs(ref - got_bf.astype(jnp.float32)).max()) < 6e-2
+
+
+def test_v1_experiment_smoke(rng):
+    """The superseded v1 kernel lives in experiments/; keep it honest cheaply."""
+    from experiments.msda_window_pallas_v1 import ms_deform_attn_window_pallas
+
+    spatial_shapes = ((8, 8), (4, 4))
+    value, off, w = make_inputs(rng, spatial_shapes=spatial_shapes)
     ref = ms_deform_attn_window(
         jnp.asarray(value), spatial_shapes, jnp.asarray(off), jnp.asarray(w), radius=2
     )
@@ -56,53 +125,9 @@ def test_pallas_batch2(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
 
 
-def test_v2_kernel_interpret_parity(rng):
-    """Pre-shifted-plane kernel (v2) vs the XLA window oracle, incl. coarse pairs."""
-    import jax
-    import jax.numpy as jnp
-
-    from ape_tpu.ops.msda_window import ms_deform_attn_window
-    from ape_tpu.ops.msda_window_pallas_v2 import ms_deform_attn_window_pallas_v2
-
-    shapes = ((16, 16), (8, 8), (4, 4))
-    s = sum(h * w for h, w in shapes)
-    b, h, d, p = 1, 4, 8, 2
-    l = len(shapes)
-    v = jnp.asarray(rng.randn(b, s, h, d), jnp.float32)
-    off = jnp.asarray(rng.uniform(-6, 6, (b, s, h, l, p, 2)), jnp.float32)
-    att = jax.nn.softmax(jnp.asarray(rng.randn(b, s, h, l * p), jnp.float32), -1)
-    att = att.reshape(b, s, h, l, p)
-    ref = ms_deform_attn_window(v, shapes, off, att, radius=4)
-    got = ms_deform_attn_window_pallas_v2(v, shapes, off, att, radius=4, interpret=True)
-    assert float(jnp.abs(ref - got).max()) < 2e-2  # bf16 planes
-
-    # both u-loop variants (dynamic tap-skip fori vs static unrolled) must agree
-    import ape_tpu.ops.msda_window_pallas_v2 as v2mod
-
-    orig = v2mod.USKIP
-    try:
-        v2mod.USKIP = not orig
-        got2 = ms_deform_attn_window_pallas_v2(
-            v, shapes, off, att, radius=4, interpret=True
-        )
-    finally:
-        v2mod.USKIP = orig
-    assert float(jnp.abs(ref - got2).max()) < 2e-2
-
-    # bf16 value path: partials are carried bf16 between pair kernels
-    got_bf = ms_deform_attn_window_pallas_v2(
-        v.astype(jnp.bfloat16), shapes, off, att, radius=4, interpret=True
-    )
-    assert got_bf.dtype == jnp.bfloat16
-    assert float(jnp.abs(ref - got_bf.astype(jnp.float32)).max()) < 6e-2
-
-
 def test_v2_large_tile_path(rng):
     """The (64, 64) tile path (round-3 TQ_CAP=64 default) — big-grid tiles
     never engage on the 16^2 suite shapes above, so pin them here."""
-    import jax.numpy as jnp
-
-    from ape_tpu.ops.msda_window import ms_deform_attn_window
     from ape_tpu.ops.msda_window_pallas_v2 import _run_pair_v2
 
     h, d, p, r = 4, 8, 2, 2

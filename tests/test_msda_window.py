@@ -27,13 +27,24 @@ def make_pyramid_inputs(rng, b=1, heads=2, d=4, spatial_shapes=((8, 8), (4, 4), 
     return value, off, w
 
 
+# Budget note: the window oracle unrolls O(win^2) taps per pair at trace time,
+# and tracing (not XLA compile — that's cached) dominates these tests on the
+# 1-core VM. Multi-level params run radius 3; the production radius-4 window
+# is pinned by the single-level param and the clamp test.
 @pytest.mark.parametrize(
-    "spatial_shapes", [((8, 8), (4, 4), (2, 2)), ((8, 8),), ((16, 16), (8, 8), (4, 4), (2, 2))]
+    "spatial_shapes,radius",
+    [
+        (((8, 8), (4, 4), (2, 2)), 3),
+        (((8, 8),), 4),
+        (((16, 16), (8, 8), (4, 4), (2, 2)), 3),
+    ],
 )
-def test_window_matches_exact(rng, spatial_shapes):
-    value, off, w = make_pyramid_inputs(rng, spatial_shapes=spatial_shapes)
+def test_window_matches_exact(rng, spatial_shapes, radius):
+    value, off, w = make_pyramid_inputs(
+        rng, spatial_shapes=spatial_shapes, max_off=float(radius)
+    )
     out_win = ms_deform_attn_window(
-        jnp.asarray(value), spatial_shapes, jnp.asarray(off), jnp.asarray(w), radius=4
+        jnp.asarray(value), spatial_shapes, jnp.asarray(off), jnp.asarray(w), radius=radius
     )
     loc = pixel_offsets_to_locations(spatial_shapes, jnp.asarray(off))
     out_exact = ms_deform_attn(jnp.asarray(value), spatial_shapes, loc, jnp.asarray(w))
@@ -58,10 +69,10 @@ def test_window_clamps_large_offsets(rng):
 
 def test_window_gradients_flow(rng):
     spatial_shapes = ((4, 4), (2, 2))
-    value, off, w = make_pyramid_inputs(rng, spatial_shapes=spatial_shapes, max_off=1.5)
+    value, off, w = make_pyramid_inputs(rng, spatial_shapes=spatial_shapes, max_off=0.9)
 
     def f(v, o, a):
-        return ms_deform_attn_window(v, spatial_shapes, o, a, radius=2).sum()
+        return ms_deform_attn_window(v, spatial_shapes, o, a, radius=1).sum()
 
     gv, go, ga = jax.grad(f, argnums=(0, 1, 2))(
         jnp.asarray(value), jnp.asarray(off), jnp.asarray(w)
