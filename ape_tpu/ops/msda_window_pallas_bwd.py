@@ -38,6 +38,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ape_tpu.ops.msda import level_start_index
 from ape_tpu.ops.msda_window_pallas_v2 import (
     VMEM_BUDGET,
+    _build_vp,
+    _plane_fold_map,
     VMEM_LIMIT,
     _PairGeom,
     _choose_tiles,
@@ -517,62 +519,6 @@ def _run_pair_grad_value(
     dplanes = dplanes[:, :, :, : planes_shape.shape[3], : planes_shape.shape[4], :]
     (d_value,) = fold(dplanes)
     return d_value.reshape(b, hv * wv, c)
-
-
-def _build_vp(v_l, g: _PairGeom, coverage_rows=0, coverage_cols=0):
-    """(B, Hv, Wv, C) -> the phase-decomposed padded array every plane is a
-    shifted/strided view of: (B, sphase, sy, R, K, C).
-
-    Mirrors _prep_planes up to (but not including) the per-plane slicing, plus
-    an x-phase decomposition for sx > 1 (x = k*sx + phase) so strided plane
-    views become contiguous-k views. plane p of _prep_planes satisfies
-        plane_p[..., j, :] == vp[:, phase_p, :, :, shift_p + j, :]
-    with (phase_p, shift_p) from _plane_fold_map. The merged backward kernel
-    accumulates d_value in THESE coordinates; jax.vjp of this function is the
-    exact fold back to the value grid (pad/reshape/repeat adjoints only).
-    """
-    b, hv, wv, c = v_l.shape
-    pad = g.pad
-    rows_needed = (g.hq // g.inv_y if g.inv_y > 1 else g.hq) + g.halo_y
-    hp = -(-(hv + 2 * pad) // g.sy) * g.sy
-    hp = max(hp, rows_needed * g.sy)
-    if g.sx > 1:
-        wp_cols = g.wq
-        wpad = g.int_x + g.win + g.sx * wp_cols
-    else:
-        wp_cols = g.wq + g.max_a8 + 8
-        wpad = max(wv + 2 * pad, (wp_cols // g.inv_x + 1) + g.win)
-    vpad = jnp.pad(
-        v_l,
-        ((0, 0), (pad, hp - hv - pad), (pad, max(wpad - wv - pad, pad)), (0, 0)),
-    )
-    bdim, hpp, wpp, _ = vpad.shape
-    vp = vpad.reshape(b, hpp // g.sy, g.sy, wpp, c).transpose(0, 2, 1, 3, 4)
-    if g.sx > 1:
-        wk = -(-wpp // g.sx)
-        vp = jnp.pad(vp, ((0, 0),) * 3 + ((0, wk * g.sx - wpp), (0, 0)))
-        vp = vp.reshape(b, g.sy, vp.shape[2], wk, g.sx, c).transpose(0, 4, 1, 2, 3, 5)
-    else:
-        if g.inv_x > 1:
-            vp = jnp.repeat(vp, g.inv_x, axis=3)
-        vp = vp[:, None]  # sphase = 1
-    pr = max(0, coverage_rows - vp.shape[3])
-    pc = max(0, coverage_cols - vp.shape[4])
-    if pr or pc:
-        vp = jnp.pad(vp, ((0, 0),) * 3 + ((0, pr), (0, pc), (0, 0)))
-    return vp
-
-
-def _plane_fold_map(g: _PairGeom):
-    """Per plane index: (phase, shift) into _build_vp coordinates."""
-    out = []
-    for p, key in enumerate(g.planes):
-        if g.sx > 1:
-            u = key
-            out.append((((g.int_x + u) % g.sx), (g.int_x + u) // g.sx))
-        else:
-            out.append((0, key))  # key = the sub-8 column shift b
-    return out
 
 
 def _grad_kernel_merged(

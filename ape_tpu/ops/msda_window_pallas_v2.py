@@ -99,6 +99,16 @@ HYBRID_THRESH = int(os.environ.get("APE_MSDA_HYBRID_THRESH", "6"))
 # same-res path) and expanded pairs take full-size tiles. 0 disables (A/B).
 YEXP = os.environ.get("APE_MSDA_YEXP", "0") != "0"
 
+# vp-space input: instead of XLA pre-building n_planes shifted copies of the
+# value level (8x the value bytes written+read per pair on same-res pairs, and
+# n_planes slab DMAs per tile), DMA ONE unshifted phase-decomposed slab
+# (_build_vp — a pad, plus repeat/phase-reshape for inv/strided pairs) and
+# build the shifted planes in VMEM with one static sub-8 shifted copy per
+# plane per tile — the same amortized-relayout idiom the merged backward uses
+# for its d-slab fold (msda_window_pallas_bwd._grad_kernel_merged). Trades
+# n_planes x slab DMA + the XLA prep pass for n_planes VPU copies per tile.
+VPIN = os.environ.get("APE_MSDA_VP", "0") != "0"
+
 
 class _PairGeom:
     """Static geometry of one (query grid, value grid) pair."""
@@ -191,6 +201,63 @@ def _prep_planes(v_l, g: _PairGeom, plane_dtype):
     return out
 
 
+def _build_vp(v_l, g: _PairGeom, coverage_rows=0, coverage_cols=0):
+    """(B, Hv, Wv, C) -> the phase-decomposed padded array every plane is a
+    shifted/strided view of: (B, sphase, sy, R, K, C).
+
+    Mirrors _prep_planes up to (but not including) the per-plane slicing, plus
+    an x-phase decomposition for sx > 1 (x = k*sx + phase) so strided plane
+    views become contiguous-k views. plane p of _prep_planes satisfies
+        plane_p[..., j, :] == vp[:, phase_p, :, :, shift_p + j, :]
+    with (phase_p, shift_p) from _plane_fold_map. The vp-input forward builds
+    planes from THESE coordinates in VMEM; the merged backward accumulates
+    d_value in them, and jax.vjp of this function is the exact fold back to
+    the value grid (pad/reshape/repeat adjoints only).
+    """
+    b, hv, wv, c = v_l.shape
+    pad = g.pad
+    rows_needed = (g.hq // g.inv_y if g.inv_y > 1 else g.hq) + g.halo_y
+    hp = -(-(hv + 2 * pad) // g.sy) * g.sy
+    hp = max(hp, rows_needed * g.sy)
+    if g.sx > 1:
+        wp_cols = g.wq
+        wpad = g.int_x + g.win + g.sx * wp_cols
+    else:
+        wp_cols = g.wq + g.max_a8 + 8
+        wpad = max(wv + 2 * pad, (wp_cols // g.inv_x + 1) + g.win)
+    vpad = jnp.pad(
+        v_l,
+        ((0, 0), (pad, hp - hv - pad), (pad, max(wpad - wv - pad, pad)), (0, 0)),
+    )
+    bdim, hpp, wpp, _ = vpad.shape
+    vp = vpad.reshape(b, hpp // g.sy, g.sy, wpp, c).transpose(0, 2, 1, 3, 4)
+    if g.sx > 1:
+        wk = -(-wpp // g.sx)
+        vp = jnp.pad(vp, ((0, 0),) * 3 + ((0, wk * g.sx - wpp), (0, 0)))
+        vp = vp.reshape(b, g.sy, vp.shape[2], wk, g.sx, c).transpose(0, 4, 1, 2, 3, 5)
+    else:
+        if g.inv_x > 1:
+            vp = jnp.repeat(vp, g.inv_x, axis=3)
+        vp = vp[:, None]  # sphase = 1
+    pr = max(0, coverage_rows - vp.shape[3])
+    pc = max(0, coverage_cols - vp.shape[4])
+    if pr or pc:
+        vp = jnp.pad(vp, ((0, 0),) * 3 + ((0, pr), (0, pc), (0, 0)))
+    return vp
+
+
+def _plane_fold_map(g: _PairGeom):
+    """Per plane index: (phase, shift) into _build_vp coordinates."""
+    out = []
+    for p, key in enumerate(g.planes):
+        if g.sx > 1:
+            u = key
+            out.append((((g.int_x + u) % g.sx), (g.int_x + u) // g.sx))
+        else:
+            out.append((0, key))  # key = the sub-8 column shift b
+    return out
+
+
 def _pair_kernel_v2(
     bounds_ref,  # (B, nty, ntx, 4) int32 SMEM (whole array): [u_lo, u_hi, v_lo, v_hi]
     offx_ref,  # (1, tq, tw, PH) f32, lane order p-major (lane = p*H + h)
@@ -210,6 +277,10 @@ def _pair_kernel_v2(
     dbuf=False,
     uskip=False,
     yexp=False,
+    vp=False,
+    fold_map=None,
+    slab_wd=None,
+    sphase=1,
 ):
     # Cross-pair accumulation: when `chained`, the previous pairs' partial sum
     # for this query level streams in as an input block ALIASED to the output
@@ -220,11 +291,16 @@ def _pair_kernel_v2(
     else:
         acc_in_ref = None
         out_ref, *scratches = rest_refs
-    if yexp:
+    if vp:
+        slabs, acc_ref, vpslab, sems = scratches
+        exp_ref = None
+    elif yexp:
         slabs, acc_ref, exp_ref, sems = scratches
+        vpslab = None
     else:
         slabs, acc_ref, sems = scratches
         exp_ref = None
+        vpslab = None
     b = pl.program_id(0)
     ty = pl.program_id(1)
     tx = pl.program_id(2)
@@ -232,7 +308,56 @@ def _pair_kernel_v2(
     rows_q = tq if g.sy > 1 else tq // g.inv_y
     tile_rows = rows_q + g.halo_y
 
-    if dbuf:
+    if vp:
+        # ONE unshifted vp slab per tile; shifted planes are built in VMEM
+        # after the wait (static sub-8 shifted copies, amortized per tile)
+        if dbuf:
+            nb, nty, ntx = pl.num_programs(0), pl.num_programs(1), pl.num_programs(2)
+            idx = (b * nty + ty) * ntx + tx
+            total = nb * nty * ntx
+            slot = jax.lax.rem(idx, 2)
+
+            def make_vp_copy(i, slot_i):
+                b_i = i // (nty * ntx)
+                r = i % (nty * ntx)
+                ty_i = r // ntx
+                tx_i = r % ntx
+                row_s = 0 if single_y else ty_i * rows_q
+                col_s = 0 if single_x else pl.multiple_of(tx_i * tw, 8)
+                return pltpu.make_async_copy(
+                    planes_hbm.at[
+                        b_i, :, :, pl.ds(row_s, tile_rows), pl.ds(col_s, slab_wd), :
+                    ],
+                    vpslab.at[slot_i],
+                    sems.at[slot_i],
+                )
+
+            @pl.when(idx == 0)
+            def _():
+                make_vp_copy(idx, slot).start()
+
+            @pl.when(idx + 1 < total)
+            def _():
+                make_vp_copy(idx + 1, 1 - slot).start()
+
+            copies = [make_vp_copy(idx, slot)]
+            cur_vp = vpslab.at[slot]
+        else:
+            row_start = 0 if single_y else ty * rows_q
+            col_start = 0 if single_x else pl.multiple_of(tx * tw, 8)
+            copies = [
+                pltpu.make_async_copy(
+                    planes_hbm.at[
+                        b, :, :, pl.ds(row_start, tile_rows), pl.ds(col_start, slab_wd), :
+                    ],
+                    vpslab,
+                    sems,
+                )
+            ]
+            copies[0].start()
+            cur_vp = vpslab
+        cur_slab = slabs
+    elif dbuf:
         # Manual double-buffer over the sequential grid: tile idx's planes were
         # prefetched by tile idx-1 (tile 0 fetches its own); this tile starts
         # the prefetch for idx+1 into the other slot before computing.
@@ -324,6 +449,13 @@ def _pair_kernel_v2(
 
     for cp in copies:
         cp.wait()
+
+    if vp:
+        # one static (sub-8) shifted copy per plane per tile — the
+        # unaligned-slice relayout the per-tap path must avoid, amortized
+        # over the whole tap loop (mirror of the merged backward's fold)
+        for p, (phase, shift) in enumerate(fold_map):
+            slabs[p] = cur_vp[phase, :, :, shift : shift + slab_w, :]
 
     if yexp:
         # one row-expansion per plane per tile (replaces a broadcast per tap)
@@ -432,15 +564,24 @@ def _pair_kernel_v2(
 
 
 def _choose_tiles(g: _PairGeom, c: int, plane_bytes: int, budget=None, dbuf=False,
-                  yexp=False):
+                  yexp=False, vp=False):
     """Pick (tq, tw) so the slab stack + accumulator fit VMEM."""
     budget = budget or VMEM_BUDGET
     n_planes = len(g.planes)
     n_slots = 2 if dbuf else 1
+    if vp:
+        fold_map = _plane_fold_map(g)
+        max_shift = max(s for _, s in fold_map)
+        sphase = g.sx if g.sx > 1 else 1
 
     def slab_bytes(tq, tw):
         rows_q = tq if g.sy > 1 else tq // g.inv_y
         slab_w = tw + g.max_a8
+        if vp:
+            # built planes (one slot) + double-buffered vp slabs
+            slab_wd = -(-(slab_w + max_shift) // 8) * 8
+            rows = g.sy * (rows_q + g.halo_y) * c * plane_bytes
+            return (n_planes * slab_w + n_slots * sphase * slab_wd) * rows
         return n_slots * n_planes * g.sy * (rows_q + g.halo_y) * slab_w * c * plane_bytes
 
     def exp_bytes(tq, tw):
@@ -537,21 +678,33 @@ def _run_pair_v2(
     g = _PairGeom(hq, wq, hv, wv, radius)
 
     yexp = YEXP and g.inv_y > 1 and g.sy == 1
-    planes = _prep_planes(v_l.reshape(b, hv, wv, c), g, plane_dtype)
+    vp_mode = VPIN and not yexp
     tq, tw = tile_override or _choose_tiles(
-        g, c, np.dtype(plane_dtype).itemsize, dbuf=DBUF, yexp=yexp
+        g, c, np.dtype(plane_dtype).itemsize, dbuf=DBUF, yexp=yexp, vp=vp_mode
     )
     rows_q = tq if g.sy > 1 else tq // g.inv_y
     tile_rows = rows_q + g.halo_y
     slab_w = -(-(tw + g.max_a8) // 8) * 8  # DMA width stays 8-aligned
 
-    # plane padding must cover the farthest tile slab
     need_rows = (hq // tq - 1) * rows_q + tile_rows
-    need_cols = (wq // tw - 1) * tw + slab_w
-    pr = max(0, need_rows - planes.shape[3])
-    pc = max(0, need_cols - planes.shape[4])
-    if pr or pc:
-        planes = jnp.pad(planes, ((0, 0),) * 3 + ((0, pr), (0, pc), (0, 0)))
+    if vp_mode:
+        fold_map = _plane_fold_map(g)
+        max_shift = max(s for _, s in fold_map)
+        sphase = g.sx if g.sx > 1 else 1
+        slab_wd = -(-(slab_w + max_shift) // 8) * 8
+        need_cols_vp = (wq // tw - 1) * tw + slab_wd
+        planes = _build_vp(
+            v_l.reshape(b, hv, wv, c).astype(plane_dtype), g, need_rows, need_cols_vp
+        )
+    else:
+        fold_map, max_shift, sphase, slab_wd = None, 0, 1, None
+        planes = _prep_planes(v_l.reshape(b, hv, wv, c), g, plane_dtype)
+        # plane padding must cover the farthest tile slab
+        need_cols = (wq // tw - 1) * tw + slab_w
+        pr = max(0, need_rows - planes.shape[3])
+        pc = max(0, need_cols - planes.shape[4])
+        if pr or pc:
+            planes = jnp.pad(planes, ((0, 0),) * 3 + ((0, pr), (0, pc), (0, 0)))
 
     ph = heads * num_points
     offx_g = off_pair[..., 0].transpose(0, 1, 3, 2).reshape(b, hq, wq, ph)
@@ -573,6 +726,10 @@ def _run_pair_v2(
         dbuf=DBUF,
         uskip=USKIP,
         yexp=yexp,
+        vp=vp_mode,
+        fold_map=fold_map,
+        slab_wd=slab_wd,
+        sphase=sphase,
     )
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -597,21 +754,34 @@ def _run_pair_v2(
         out_specs=pl.BlockSpec(
             (1, tq, tw, c), lambda bb, ty, tx: (bb, ty, tx, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[
-            pltpu.VMEM(
-                ((2,) if DBUF else ()) + (len(g.planes), g.sy, tile_rows, slab_w, c),
-                plane_dtype,
-            ),
-            pltpu.VMEM((tq, tw, c), jnp.float32),
-        ]
-        + (
-            [pltpu.VMEM((len(g.planes), tile_rows * g.inv_y, slab_w, c), plane_dtype)]
-            if yexp
-            else []
-        )
-        + [
-            pltpu.SemaphoreType.DMA(((2,) if DBUF else ()) + (len(g.planes),)),
-        ],
+        scratch_shapes=(
+            [
+                # built planes (single copy) + acc + dbuf'd vp slabs + sem
+                pltpu.VMEM((len(g.planes), g.sy, tile_rows, slab_w, c), plane_dtype),
+                pltpu.VMEM((tq, tw, c), jnp.float32),
+                pltpu.VMEM(
+                    ((2,) if DBUF else ()) + (sphase, g.sy, tile_rows, slab_wd, c),
+                    plane_dtype,
+                ),
+                pltpu.SemaphoreType.DMA((2,)) if DBUF else pltpu.SemaphoreType.DMA,
+            ]
+            if vp_mode
+            else [
+                pltpu.VMEM(
+                    ((2,) if DBUF else ()) + (len(g.planes), g.sy, tile_rows, slab_w, c),
+                    plane_dtype,
+                ),
+                pltpu.VMEM((tq, tw, c), jnp.float32),
+            ]
+            + (
+                [pltpu.VMEM((len(g.planes), tile_rows * g.inv_y, slab_w, c), plane_dtype)]
+                if yexp
+                else []
+            )
+            + [
+                pltpu.SemaphoreType.DMA(((2,) if DBUF else ()) + (len(g.planes),)),
+            ]
+        ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
         **kwargs,

@@ -109,6 +109,25 @@ def test_v2_uloop_variants_and_bf16(rng):
     assert float(jnp.abs(ref - got_bf.astype(jnp.float32)).max()) < 6e-2
 
 
+def test_v2_vp_input_mode(rng):
+    """vp-space input (APE_MSDA_VP): one unshifted phase-decomposed slab DMA
+    per tile + in-VMEM shifted plane builds must match the pre-shifted-planes
+    path exactly (same bf16 slabs, same tap math)."""
+    import ape_tpu.ops.msda_window_pallas_v2 as v2mod
+
+    shapes = ((16, 16), (8, 8))
+    value, off, w = make_inputs(rng, spatial_shapes=shapes)
+    args = (jnp.asarray(value), shapes, jnp.asarray(off), jnp.asarray(w))
+    base = ms_deform_attn_window_pallas_v2(*args, radius=2, interpret=True)
+    orig = v2mod.VPIN
+    try:
+        v2mod.VPIN = not orig
+        got = ms_deform_attn_window_pallas_v2(*args, radius=2, interpret=True)
+    finally:
+        v2mod.VPIN = orig
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base), rtol=0, atol=0)
+
+
 def test_v1_experiment_smoke(rng):
     """The superseded v1 kernel lives in experiments/; keep it honest cheaply."""
     from experiments.msda_window_pallas_v1 import ms_deform_attn_window_pallas
