@@ -54,6 +54,11 @@ import os
 # Merged backward kernel (one pass for d_off/d_att/d_value, in-kernel plane
 # fold) vs the round-2 split kernels. 0 selects the split path for A/B.
 BWD_MERGED = os.environ.get("APE_MSDA_BWD_MERGED", "1") != "0"
+# vp-space VALUE input for the merged kernel: mirror of the forward's
+# APE_MSDA_VP — one unshifted bf16 vp slab DMA per tile + in-VMEM shifted
+# plane builds, replacing the n_planes pre-shifted copies (XLA prep pass) and
+# per-plane slab DMAs. The d_value side already lives in vp space.
+BWD_VP = os.environ.get("APE_MSDA_BWD_VP", "0") != "0"
 # The merged kernel holds bf16 value slabs + f32 d-slabs + the f32 fold
 # accumulator at once, so it gets its own (larger) budget and tile caps.
 VMEM_BUDGET_BWD = int(os.environ.get("APE_MSDA_BWD_VMEM_MB", "48")) * 1024 * 1024
@@ -533,15 +538,15 @@ def _grad_kernel_merged(
     doy_ref,
     datt_ref,
     dvp_out,  # ANY alias of dvp_in
-    slabs,  # VMEM (P, sy, tile_rows, slab_w, C) plane_dtype
-    dslab,  # VMEM (P, sy, tile_rows, slab_w, C) f32
-    dacc,  # VMEM (sphase, sy, tile_rows, slab_wd, C) f32
-    dox_acc,  # VMEM (tq, tw, PH) f32
-    doy_acc,
-    datt_acc,
-    sems,  # DMA (P,)
-    rw_sem,  # DMA () for the dvp read/write
-    *,
+    # scratches (in scratch_shapes order):
+    #   slabs (P, sy, tile_rows, slab_w, C) plane_dtype
+    #   dslab (P, sy, tile_rows, slab_w, C) f32
+    #   dacc (sphase, sy, tile_rows, slab_wd, C) f32
+    #   dox_acc / doy_acc / datt_acc (tq, tw, PH) f32
+    #   [vslab (sphase, sy, tile_rows, slab_wd, C) plane_dtype — vp mode only]
+    #   sems — DMA (P,) (planes) or scalar (vp)
+    #   rw_sem — DMA scalar for the dvp read/write
+    *scratches,
     g: _PairGeom,
     heads,
     num_points,
@@ -551,6 +556,7 @@ def _grad_kernel_merged(
     slab_wd,
     single_x,
     single_y,
+    vp=False,
 ):
     """One pass producing d_off, d_att AND the d_value fold input.
 
@@ -563,6 +569,11 @@ def _grad_kernel_merged(
     with pl.when predication (d-slab stores need static offsets; the off/att
     side rides along, so inactive taps still skip).
     """
+    if vp:
+        slabs, dslab, dacc, dox_acc, doy_acc, datt_acc, vslab, sems, rw_sem = scratches
+    else:
+        slabs, dslab, dacc, dox_acc, doy_acc, datt_acc, sems, rw_sem = scratches
+        vslab = None
     b = pl.program_id(0)
     ty = pl.program_id(1)
     tx = pl.program_id(2)
@@ -573,16 +584,28 @@ def _grad_kernel_merged(
 
     row_start = 0 if single_y else ty * rows_q
     col_start = 0 if single_x else pl.multiple_of(tx * tw, 8)
-    copies = [
-        pltpu.make_async_copy(
-            planes_hbm.at[
-                p, b, :, pl.ds(row_start, tile_rows), pl.ds(col_start, slab_w), :
-            ],
-            slabs.at[p],
-            sems.at[p],
-        )
-        for p in range(n_planes)
-    ]
+    if vp:
+        # one unshifted bf16 vp slab; shifted planes built in VMEM post-wait
+        copies = [
+            pltpu.make_async_copy(
+                planes_hbm.at[
+                    b, :, :, pl.ds(row_start, tile_rows), pl.ds(col_start, slab_wd), :
+                ],
+                vslab,
+                sems,
+            )
+        ]
+    else:
+        copies = [
+            pltpu.make_async_copy(
+                planes_hbm.at[
+                    p, b, :, pl.ds(row_start, tile_rows), pl.ds(col_start, slab_w), :
+                ],
+                slabs.at[p],
+                sems.at[p],
+            )
+            for p in range(n_planes)
+        ]
     for cp in copies:
         cp.start()
     # prefetch the dvp region this tile folds into; the sequential grid plus
@@ -630,6 +653,12 @@ def _grad_kernel_merged(
 
     for cp in copies:
         cp.wait()
+
+    if vp:
+        # one static (sub-8) shifted copy per plane per tile (mirror of the
+        # fold below; same amortized-relayout reasoning)
+        for p, (phase, shift) in enumerate(_plane_fold_map(g)):
+            slabs[p] = vslab[phase, :, :, shift : shift + slab_w, :]
 
     dox_acc[...] = jnp.zeros_like(dox_acc)
     doy_acc[...] = jnp.zeros_like(doy_acc)
@@ -721,7 +750,6 @@ def _run_pair_grad_merged(
     g = _PairGeom(hq, wq, hv, wv, radius)
     sphase = g.sx if g.sx > 1 else 1
 
-    planes = _prep_planes(v_l.reshape(b, hv, wv, c), g, plane_dtype)
     fold_map = _plane_fold_map(g)
     max_shift = max(s for _, s in fold_map)
 
@@ -732,7 +760,10 @@ def _run_pair_grad_merged(
         sl_w = -(-(tw + g.max_a8) // 8) * 8
         sl_wd = -(-(sl_w + max_shift) // 8) * 8
         n = len(g.planes)
-        slab_b = n * g.sy * t_rows * sl_w * c * np.dtype(plane_dtype).itemsize
+        pb = np.dtype(plane_dtype).itemsize
+        slab_b = n * g.sy * t_rows * sl_w * c * pb
+        if BWD_VP:
+            slab_b += sphase * g.sy * t_rows * sl_wd * c * pb  # vslab
         dslab_b = n * g.sy * t_rows * sl_w * c * 4
         dacc_b = sphase * g.sy * t_rows * sl_wd * c * 4
         accs = 3 * tq * tw * heads * num_points * 4
@@ -763,10 +794,16 @@ def _run_pair_grad_merged(
     need_rows = (hq // tq - 1) * rows_q + tile_rows
     need_cols_planes = (wq // tw - 1) * tw + slab_w
     need_cols_vp = (wq // tw - 1) * tw + slab_wd
-    pr = max(0, need_rows - planes.shape[3])
-    pc = max(0, need_cols_planes - planes.shape[4])
-    if pr or pc:
-        planes = jnp.pad(planes, ((0, 0),) * 3 + ((0, pr), (0, pc), (0, 0)))
+    if BWD_VP:
+        planes = _build_vp(
+            v_l.reshape(b, hv, wv, c).astype(plane_dtype), g, need_rows, need_cols_vp
+        )
+    else:
+        planes = _prep_planes(v_l.reshape(b, hv, wv, c), g, plane_dtype)
+        pr = max(0, need_rows - planes.shape[3])
+        pc = max(0, need_cols_planes - planes.shape[4])
+        if pr or pc:
+            planes = jnp.pad(planes, ((0, 0),) * 3 + ((0, pr), (0, pc), (0, 0)))
 
     v_zero = jnp.zeros((b, hv, wv, c), jnp.float32)
     _, fold = jax.vjp(
@@ -795,6 +832,7 @@ def _run_pair_grad_merged(
         slab_wd=slab_wd,
         single_x=(wq // tw) == 1,
         single_y=(hq // tq) == 1,
+        vp=BWD_VP,
     )
     qspec = lambda shp: pl.BlockSpec(
         shp, lambda bb, ty, tx: (bb, ty, tx, 0), memory_space=pltpu.VMEM
@@ -822,7 +860,16 @@ def _run_pair_grad_merged(
             pltpu.VMEM((tq, tw, ph), jnp.float32),
             pltpu.VMEM((tq, tw, ph), jnp.float32),
             pltpu.VMEM((tq, tw, ph), jnp.float32),
-            pltpu.SemaphoreType.DMA((len(g.planes),)),
+        ]
+        + (
+            [
+                pltpu.VMEM((sphase, g.sy, tile_rows, slab_wd, c), plane_dtype),
+                pltpu.SemaphoreType.DMA,
+            ]
+            if BWD_VP
+            else [pltpu.SemaphoreType.DMA((len(g.planes),))]
+        )
+        + [
             pltpu.SemaphoreType.DMA,
         ],
         input_output_aliases={6: 3},

@@ -73,6 +73,29 @@ def test_bwd_clip_masks_gradients():
     assert float(do[0, 7, 1, 1, 0, 1]) == 0.0
 
 
+def test_bwd_vp_input_mode():
+    """APE_MSDA_BWD_VP: the merged kernel fed one unshifted vp slab (in-VMEM
+    shifted plane builds) must match the pre-shifted-planes feed exactly."""
+    import ape_tpu.ops.msda_window_pallas_bwd as bwd
+
+    value, off, att, g = _inputs(5, 0.6)
+    base = ms_deform_attn_window_pallas_bwd(
+        value, SHAPES, off, att, g, radius=RADIUS, interpret=True
+    )
+    orig = bwd.BWD_VP
+    try:
+        bwd.BWD_VP = not orig
+        got = ms_deform_attn_window_pallas_bwd(
+            value, SHAPES, off, att, g, radius=RADIUS, interpret=True
+        )
+    finally:
+        bwd.BWD_VP = orig
+    for name, a, r in zip(("d_value", "d_off", "d_att"), got, base):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(r), rtol=0, atol=0, err_msg=name
+        )
+
+
 def test_bwd_batch2_matches_exact_vjp():
     """b=2: the merged kernel's per-tile dvp RMW walks the batch as the
     outermost sequential grid dim; batch rows must not bleed into each other.
