@@ -262,3 +262,156 @@ def test_generate_img_ann_pair(tmp_path):
     merged = json.loads((tmp_path / "sa_9.json").read_text())
     assert merged["extra"] == 1 and merged["image"]["id"] == 9
     assert len(merged["annotations"]) == 1
+
+
+def test_flickr_sentence_and_clustering():
+    mod = _load("tools/flickr2coco/convert.py", "flickr_convert")
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as f:
+        f.write("[/EN#7/people A man] rides [/EN#9/vehicles a red bike] .\n")
+        path = f.name
+    parsed = mod.get_sentence_data(path)
+    assert parsed[0]["sentence"] == "A man rides a red bike ."
+    p0, p1 = parsed[0]["phrases"]
+    assert p0["phrase"] == "A man" and p0["phrase_id"] == "7" and p0["first_word_index"] == 0
+    assert p1["phrase"] == "a red bike" and p1["first_word_index"] == 3
+
+    spans = mod.phrase_spans(parsed[0]["sentence"], parsed[0]["phrases"])
+    assert parsed[0]["sentence"][slice(*spans[0])] == "A man"
+    assert parsed[0]["sentence"][slice(*spans[1])] == "a red bike"
+
+    compo = mod.get_equivalent_boxes(
+        [[0, 0, 10, 10], [0.1, 0, 10, 10], [50, 50, 5, 5]], 0.9
+    )
+    sizes = sorted(len(v) for v in compo.values())
+    assert sizes == [1, 2]
+
+    merged = mod.merge_entity_boxes({7: [[0, 0, 10, 10], [20, 0, 10, 10]]})
+    assert merged[7] == [[0.0, 0.0, 30.0, 10.0]]
+
+    target = {7: [[0, 0, 10, 10]], 9: [[30, 30, 4, 4]]}
+    annos, next_id = mod.sentence_annotations(parsed, target, image_id=1, next_id=1)
+    assert len(annos) == 2 and next_id == 3
+    assert {a["phrase"] for a in annos} == {"A man", "a red bike"}
+
+
+def test_vg_object_convert():
+    mod = _load(
+        "tools/visualgenome2coco/convert_annotations_object.py", "vg_object"
+    )
+    assert mod.sentence_preprocess(" Dog's! ") == "dogs"
+    import tempfile, os as _os
+
+    with tempfile.TemporaryDirectory() as d:
+        a1 = _os.path.join(d, "a1.txt")
+        a2 = _os.path.join(d, "a2.txt")
+        open(a1, "w").write("dog,puppy\ncat,kitten\n")
+        open(a2, "w").write("puppy,doggy\nbird\n")
+        alias = mod.make_alias_dict_new(a1, a2)
+    # transitive merge: dog/puppy/doggy in one group
+    assert alias["dog"] == alias["puppy"] == alias["doggy"]
+    assert "bird" not in alias  # singleton groups don't alias
+
+    object_data = [
+        {"image_id": 1, "objects": [
+            {"object_id": 10, "names": ["dog"], "synsets": [], "x": 0, "y": 0, "w": 50, "h": 50},
+            {"object_id": 11, "names": ["unknownthing"], "synsets": [], "x": 0, "y": 0, "w": 50, "h": 50},
+            {"object_id": 12, "names": ["dog"], "synsets": [], "x": 1, "y": 1, "w": 1, "h": 1},  # too small
+        ]},
+        {"image_id": 2, "objects": [
+            {"object_id": 20, "names": ["unknownthing"], "synsets": [], "x": 0, "y": 0, "w": 30, "h": 30},
+        ]},
+    ]
+    image_data = [
+        {"image_id": 1, "height": 100, "width": 100, "url": "https://x/VG_100K/1.jpg"},
+        {"image_id": 2, "height": 100, "width": 100, "url": "https://x/VG_100K/2.jpg"},
+    ]
+    train, val, full, cats = mod.convert(
+        object_data, image_data, num_objects=10, object_list=["dog"],
+        min_box_area_frac=0.002,
+    )
+    # image 2 has no kept objects -> dropped; tiny box filtered
+    assert [im["id"] for im in full["images"]] == [1]
+    assert full["images"][0]["file_name"] == "VG_100K/1.jpg"
+    assert len(full["annotations"]) == 1
+    assert cats == [{"id": 1, "name": "dog"}]
+    assert full["annotations"][0]["phrase"] == "dog"
+
+
+def test_vg_region_fanout():
+    obj_mod = _load(
+        "tools/visualgenome2coco/convert_annotations_object.py", "convert_annotations_object"
+    )
+    reg_mod = _load(
+        "tools/visualgenome2coco/convert_annotations_region.py", "vg_region"
+    )
+    ds = {
+        "info": {}, "licenses": [], "categories": [{"id": 1, "name": "dog"}],
+        "images": [{"id": 1, "file_name": "a.jpg", "height": 10, "width": 10}],
+        "annotations": [{"id": 1, "image_id": 1, "category_id": 1}],
+    }
+    import copy
+
+    train = copy.deepcopy(ds)
+    val = {**copy.deepcopy(ds), "images": [], "annotations": []}
+    full = copy.deepcopy(ds)
+    region_data = [
+        {"id": 1, "regions": [
+            {"region_id": 9, "image_id": 1, "x": 0, "y": 0, "width": 5, "height": 4,
+             "phrase": "a dog on grass"},
+        ]},
+    ]
+    image_data = [{"image_id": 1}]
+    r_train, r_val, r_all = reg_mod.add_regions(train, val, full, region_data, image_data, 1)
+    assert len(full["annotations"]) == 2
+    reg_ann = full["annotations"][-1]
+    assert reg_ann["isobject"] == 0 and reg_ann["phrase"] == "a dog on grass"
+    assert reg_ann["category_id"] == 1 + 0  # len(vocab) + region index
+    assert len(r_train["annotations"]) == 1 and not r_val["annotations"]
+
+
+def test_gqa_spans_and_phrases():
+    mod = _load("tools/gqa2coco/convert.py", "gqa_convert")
+    q = "What is the man holding?"
+    # token 3 = "man"
+    beg, end = mod.token_ref_to_span("3", q)
+    assert q[beg:end] == "man"
+    beg, end = mod.token_ref_to_span("1:3", q)
+    assert q[beg:end] == "is the"
+    # overlapping spans merge; punctuation snaps off
+    spans = mod.consolidate_spans([(0, 5), (3, 8)], "hello, world")
+    assert spans == [(0, 8)]
+    assert mod.clean_phrase("What", "dog", "The dog is here", 0) == "dog"
+    assert mod.clean_phrase("he", "x", "a man walking", 0) == "a man walking"
+    assert mod.clean_phrase("she", "x", "nothing here", 0) == "woman"
+    assert mod.clean_phrase("ab", "x", "full answer", 0) == "full answer"
+    assert mod.clean_phrase("tv", "x", "full answer", 0) == "tv"
+    assert mod.clean_phrase("yes, a hat", "x", "y", 0) == "a hat"
+
+
+def test_openimages_bbox_convert():
+    mod = _load("tools/openimages2coco/convert_annotations.py", "oi_convert")
+    cats = mod.convert_categories([["/m/01", "Person"], ["/m/02", "Car"]])
+    assert cats[0] == {"id": 1, "name": "Person", "freebase_id": "/m/01"}
+    meta = [["ImageID"], ["imgA"], ["imgB"]]
+    labels = [
+        ["ImageID", "LabelName", "Confidence"],
+        ["imgA", "/m/01", "1"],
+        ["imgA", "/m/02", "0"],
+    ]
+    sizes = [["image_id", "image_w", "image_h"], ["imgA", "100", "50"], ["imgB", "20", "10"]]
+    images = mod.convert_images(meta, labels, sizes, "/nonexistent", cats)
+    assert images[0]["pos_category_ids"] == [1]
+    assert images[0]["neg_category_ids"] == [2]
+    assert images[0]["width"] == 100 and images[0]["height"] == 50
+    anns_rows = [
+        ["ImageID", "LabelName", "XMin", "XMax", "YMin", "YMax", "IsGroupOf"],
+        ["imgA", "/m/01", "0.1", "0.5", "0.2", "0.6", "0"],
+        ["imgB", "/m/02", "0.0", "1.0", "0.0", "1.0", "1"],
+    ]
+    anns = mod.convert_instances(anns_rows, images, cats)
+    assert anns[0]["bbox"] == [10.0, 10.0, 40.0, 20.0]
+    assert anns[0]["area"] == 800.0
+    imgs2, anns2 = mod.exclude_group(images, anns)
+    assert [im["id"] for im in imgs2] == ["imgA"] and len(anns2) == 1
