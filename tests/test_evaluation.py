@@ -1,6 +1,7 @@
 """Evaluator correctness on hand-constructed cases."""
 
 import numpy as np
+import pytest
 
 from ape_tpu.evaluation.coco_eval import COCOEvaluator, box_iou_xyxy
 from ape_tpu.evaluation.other_evals import (
@@ -220,3 +221,36 @@ def test_lvis_federated_filtering():
     ev.process(preds)
     r = ev.evaluate()
     np.testing.assert_allclose(r["bbox/AP"], 100.0, atol=1e-6)
+
+
+def test_plot_utils(tmp_path):
+    """plot_logs reads metrics.json curves; plot_precision_recall reads PR npz
+    (reference: ape/utils/plot_utils.py)."""
+    matplotlib = pytest.importorskip("matplotlib")
+    matplotlib.use("Agg")
+    import numpy as np
+
+    from ape_tpu.utils.plot_utils import plot_logs, plot_precision_recall, _ewm
+
+    run = tmp_path / "run1"
+    run.mkdir()
+    with open(run / "metrics.json", "w") as f:
+        for i in range(5):
+            f.write('{"iteration": %d, "total_loss": %f, "lr": 0.001}\n' % (i, 5.0 - i))
+    fig, axs = plot_logs(run, fields=("total_loss", "lr"), ewm_col=1)
+    assert len(axs) == 2
+
+    # ewm smoothing: monotone input stays monotone, first element unsmoothed
+    y = np.asarray([4.0, 3.0, 2.0])
+    s = _ewm(y, com=1.0)
+    assert s[0] == 4.0 and s[1] > 3.0 and (np.diff(s) < 0).all()
+
+    npz = tmp_path / "pr_iter100.npz"
+    np.savez(
+        npz,
+        precision=np.linspace(1, 0, 101)[None].repeat(10, 0),
+        recall=np.linspace(0, 1, 101),
+        scores=np.linspace(1, 0, 101)[None].repeat(10, 0),
+    )
+    fig2, axs2 = plot_precision_recall([npz])
+    assert len(axs2) == 2
