@@ -222,21 +222,51 @@ class COCOEvaluator:
         self.per_class_ap = per_class_ap
         return results
 
+    def save_pr_curves(self, path) -> None:
+        """Dump class-averaged interpolated PR curves + score-at-recall as npz
+        {precision (T, R), recall (R,), scores (T, R)} — the input format of
+        utils/plot_utils.plot_precision_recall (reference dumps pycocotools'
+        eval pickle; this is the same T x R content without the pickle)."""
+        prs, scs = [], []
+        for cat in sorted(self._cats | {c for (_, c) in self._dets}):
+            evals = []
+            for img_id in self._gt_imgs:
+                e = self._evaluate_img_cat(img_id, cat, (0.0, 1e10))
+                if e is not None:
+                    evals.append(e)
+            got = self._accumulate(evals, return_curves=True) if evals else None
+            if got is None:
+                continue
+            _aps, pr, sc = got
+            prs.append(pr)
+            scs.append(sc)
+        t, r = len(IOU_THRS), len(RECALL_THRS)
+        precision = np.mean(prs, axis=0) if prs else np.zeros((t, r))
+        scores = np.mean(scs, axis=0) if scs else np.zeros((t, r))
+        np.savez(path, precision=precision, recall=np.asarray(RECALL_THRS), scores=scores)
+
     @staticmethod
-    def _accumulate(evals: List[dict]) -> Optional[np.ndarray]:
+    def _accumulate(evals: List[dict], return_curves: bool = False):
         """Per-IoU-threshold AP via 101-point interpolated PR (accumulate())."""
         num_gt = sum(e["num_gt"] for e in evals)
         if num_gt == 0:
             return None
         scores = np.concatenate([e["scores"] for e in evals])
         if scores.size == 0:
-            return np.zeros(len(IOU_THRS))
+            aps = np.zeros(len(IOU_THRS))
+            if return_curves:
+                z = np.zeros((len(IOU_THRS), len(RECALL_THRS)))
+                return aps, z, z
+            return aps
         tps = np.concatenate([e["tp"] for e in evals], axis=1)
         igs = np.concatenate([e["ig"] for e in evals], axis=1)
         order = np.argsort(-scores, kind="stable")
         tps = tps[:, order]
         igs = igs[:, order]
+        scores_sorted = scores[order]
         aps = np.zeros(len(IOU_THRS))
+        pr_curves = np.zeros((len(IOU_THRS), len(RECALL_THRS)))
+        sc_curves = np.zeros((len(IOU_THRS), len(RECALL_THRS)))
         for ti in range(len(IOU_THRS)):
             tp = tps[ti] & ~igs[ti]
             fp = ~tps[ti] & ~igs[ti]
@@ -247,10 +277,15 @@ class COCOEvaluator:
             for i in range(len(precision) - 1, 0, -1):
                 precision[i - 1] = max(precision[i - 1], precision[i])
             idx = np.searchsorted(recall, RECALL_THRS, side="left")
-            pr = np.where(
-                idx < len(precision), precision[np.minimum(idx, len(precision) - 1)], 0.0
-            )
+            valid = idx < len(precision)
+            safe = np.minimum(idx, len(precision) - 1)
+            pr = np.where(valid, precision[safe], 0.0)
             aps[ti] = pr.mean()
+            if return_curves:
+                pr_curves[ti] = pr
+                sc_curves[ti] = np.where(valid, scores_sorted[safe], 0.0)
+        if return_curves:
+            return aps, pr_curves, sc_curves
         return aps
 
 

@@ -254,3 +254,36 @@ def test_plot_utils(tmp_path):
     )
     fig2, axs2 = plot_precision_recall([npz])
     assert len(axs2) == 2
+
+
+def test_save_pr_curves(tmp_path):
+    """COCOEvaluator.save_pr_curves npz feeds plot_precision_recall."""
+    gts = [make_gt(0, [[0, 0, 10.0, 10]], [1])]
+    ev = COCOEvaluator(gts, "bbox")
+    ev.process(
+        [
+            dict(
+                image_id=0,
+                instances=dict(
+                    boxes=np.asarray([[0, 0, 10.0, 10]]),
+                    scores=np.asarray([0.9]),
+                    classes=np.asarray([1]),
+                ),
+            )
+        ]
+    )
+    ev.evaluate()
+    npz_path = tmp_path / "pr.npz"
+    ev.save_pr_curves(npz_path)
+    data = np.load(npz_path)
+    assert data["precision"].shape == data["scores"].shape
+    assert data["precision"].shape[1] == len(data["recall"])
+    # perfect single detection: precision 1 up to recall 1.0 at every IoU thr
+    assert data["precision"][0, 0] == 1.0 and data["precision"][0, -1] == 1.0
+
+    matplotlib = pytest.importorskip("matplotlib")
+    matplotlib.use("Agg")
+    from ape_tpu.utils.plot_utils import plot_precision_recall
+
+    fig, axs = plot_precision_recall([npz_path])
+    assert len(axs) == 2
