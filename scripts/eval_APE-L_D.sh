@@ -6,7 +6,7 @@ CKPT=${1:?usage: eval_APE-L_D.sh <checkpoint>}
 shift
 for cfg in \
   configs/LVIS_InstanceSegmentation/ape_deta/ape_deta_vitl_eva02_clip_vlf_lsj1024.py \
-  configs/RefCOCO_VisualGrounding/ape_deta/ape_deta_vitl_eva02_clip_vlf_lsj1024_refcoco.py \
+  configs/REFCOCO_VisualGrounding/ape_deta/ape_deta_vitl_eva02_clip_vlf_lsj1024_refcoco.py \
   configs/ADE20k_SemanticSegmentation/ape_deta/ape_deta_vitl_eva02_clip_vlf_lsj1024_ade20k.py \
   configs/ODinW_Detection/ape_deta/ape_deta_vitl_eva02_clip_vlf_lsj1024_odinw13.py \
 ; do
