@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import logging
 import re
-from typing import Any, Dict
+from typing import Any, Dict, Sequence
 
 import numpy as np
 
@@ -311,8 +311,63 @@ def _convert_heads(name: str, value) -> Dict[str, Any]:
     return out
 
 
-def convert_torch_state_dict(state_dict: Dict[str, Any]) -> Dict[str, Any]:
-    """Convert a reference torch state dict (numpy values) to a flat flax dict."""
+_BN_PARTS = {"weight": "scale", "bias": "bias", "running_mean": "mean", "running_var": "var"}
+
+
+def _convert_resnet(name: str, value) -> Dict[str, Any]:
+    """d2 ResNet names (reference models/ape_deta_r50.py backbone) -> ours.
+
+    backbone.stem.conv1.{weight,norm.*}            -> backbone/stem_{conv,norm}
+    backbone.res{s}.{i}.conv{j}.{weight,norm.*}    -> backbone/res{s}_block{i}/…
+    backbone.res{s}.{i}.shortcut.{weight,norm.*}   -> …/shortcut{,_norm}
+    """
+    out = {}
+    v = np.asarray(value)
+    m = re.match(r"backbone\.stem\.conv1\.weight$", name)
+    if m:
+        out["backbone/stem_conv/kernel"] = _t_conv(v)
+        return out
+    m = re.match(r"backbone\.stem\.conv1\.norm\.(\w+)$", name)
+    if m and m.group(1) in _BN_PARTS:
+        out[f"backbone/stem_norm/{_BN_PARTS[m.group(1)]}"] = v
+        return out
+    m = re.match(r"backbone\.(res\d)\.(\d+)\.conv(\d)\.weight$", name)
+    if m:
+        out[f"backbone/{m.group(1)}_block{m.group(2)}/conv{m.group(3)}/kernel"] = _t_conv(v)
+        return out
+    m = re.match(r"backbone\.(res\d)\.(\d+)\.conv(\d)\.norm\.(\w+)$", name)
+    if m and m.group(4) in _BN_PARTS:
+        out[f"backbone/{m.group(1)}_block{m.group(2)}/norm{m.group(3)}/{_BN_PARTS[m.group(4)]}"] = v
+        return out
+    m = re.match(r"backbone\.(res\d)\.(\d+)\.shortcut\.weight$", name)
+    if m:
+        out[f"backbone/{m.group(1)}_block{m.group(2)}/shortcut/kernel"] = _t_conv(v)
+        return out
+    m = re.match(r"backbone\.(res\d)\.(\d+)\.shortcut\.norm\.(\w+)$", name)
+    if m and m.group(3) in _BN_PARTS:
+        out[f"backbone/{m.group(1)}_block{m.group(2)}/shortcut_norm/{_BN_PARTS[m.group(3)]}"] = v
+        return out
+    # detrex ChannelMapper extra convs (num_outs > len(in_features))
+    m = re.match(r"neck\.extra_convs\.(\d+)\.conv\.(weight|bias)$", name)
+    if m:
+        kind = "kernel" if m.group(2) == "weight" else "bias"
+        out[f"neck/extra_conv_{m.group(1)}/{kind}"] = _t_conv(v) if kind == "kernel" else v
+        return out
+    m = re.match(r"neck\.extra_convs\.(\d+)\.gn\.(weight|bias)$", name)
+    if m:
+        out[f"neck/extra_gn_{m.group(1)}/{'scale' if m.group(2) == 'weight' else 'bias'}"] = v
+        return out
+    return out
+
+
+def convert_torch_state_dict(
+    state_dict: Dict[str, Any], neck_levels: Sequence[str] = _LEVELS
+) -> Dict[str, Any]:
+    """Convert a reference torch state dict (numpy values) to a flat flax dict.
+
+    neck_levels: the neck's in_features names in order, i.e. what
+    `neck.convs.{i}` maps (ViT configs: p2..p6; r50 configs: res3..res5).
+    """
     flat: Dict[str, Any] = {}
     unmatched = []
     for name, value in state_dict.items():
@@ -320,7 +375,7 @@ def convert_torch_state_dict(state_dict: Dict[str, Any]) -> Dict[str, Any]:
         # neck: convs.{i} -> conv_{level} (+ gn)
         m = re.match(r"neck\.convs\.(\d+)\.conv\.(weight|bias)", name)
         if m:
-            lvl = _LEVELS[int(m.group(1))]
+            lvl = neck_levels[int(m.group(1))]
             kind = m.group(2)
             flat[f"neck/conv_{lvl}/{'kernel' if kind == 'weight' else 'bias'}"] = (
                 _t_conv(value) if kind == "weight" else np.asarray(value)
@@ -328,9 +383,13 @@ def convert_torch_state_dict(state_dict: Dict[str, Any]) -> Dict[str, Any]:
             continue
         m = re.match(r"neck\.convs\.(\d+)\.gn\.(weight|bias)", name)
         if m:
-            lvl = _LEVELS[int(m.group(1))]
+            lvl = neck_levels[int(m.group(1))]
             kind = m.group(2)
             flat[f"neck/gn_{lvl}/{'scale' if kind == 'weight' else 'bias'}"] = np.asarray(value)
+            continue
+        out = _convert_resnet(name, value)
+        if out:
+            flat.update(out)
             continue
 
         done = False

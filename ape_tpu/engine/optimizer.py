@@ -27,15 +27,22 @@ def vit_layer_id(path: str, num_layers: int) -> int:
     return num_layers + 1
 
 
-def lr_multiplier_tree(params, num_layers: int = 12, decay: float = 0.8):
+def lr_multiplier_tree(
+    params, num_layers: int = 12, decay: float = 0.8, backbone_lr_mult: float = 1.0
+):
     """Per-leaf lr multiplier: decay^(L+1-layer_id), x0.1 for sampling offsets /
-    reference points (reference config base_lr_multipliers)."""
+    reference points (reference config base_lr_multipliers). backbone_lr_mult
+    is the r50 family's flat 0.1x backbone factor (reference r50 12ep config
+    lr_factor_func: 0.1 if "backbone" in module_name) — ViT configs use the
+    layerwise decay instead and leave it at 1."""
 
     def mult(path_tuple, _):
         path = "/".join(str(getattr(p, "key", p)) for p in path_tuple)
         m = decay ** (num_layers + 1 - vit_layer_id(path, num_layers))
         if "sampling_offsets" in path or "reference_points" in path:
             m *= 0.1
+        if path.startswith("backbone"):
+            m *= backbone_lr_mult
         return m
 
     return jax.tree_util.tree_map_with_path(mult, params)
@@ -75,10 +82,11 @@ def build_optimizer(
     milestones: Sequence[int] = (),
     warmup_steps: int = 0,
     frozen_regex: Optional[str] = None,  # e.g. frozen language tower
+    backbone_lr_mult: float = 1.0,  # r50 family: flat 0.1x backbone lr
 ) -> optax.GradientTransformation:
     sched = make_lr_schedule(base_lr, milestones, warmup_steps)
 
-    mults = lr_multiplier_tree(params, vit_num_layers, layer_decay)
+    mults = lr_multiplier_tree(params, vit_num_layers, layer_decay, backbone_lr_mult)
 
     def no_decay_mask(p):
         def f(path_tuple, leaf):

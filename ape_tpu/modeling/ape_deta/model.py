@@ -33,16 +33,23 @@ from ape_tpu.ops.posemb import position_embedding_sine
 class ChannelMapper(nn.Module):
     """Per-level 1x1 conv + GroupNorm(32) to a common channel count
     (capability match: detrex ChannelMapper as configured in the reference
-    configs — kernel_size=1, GN32, num_outs == num inputs)."""
+    configs — kernel_size=1, GN32). ViT configs use num_outs == num inputs;
+    the r50 family maps in_features=["res3","res4","res5"] and extends to
+    num_outs=5 with 3x3 stride-2 extra convs — the first on the raw last
+    input feature, the rest chained (detrex ChannelMapper semantics,
+    reference models/ape_deta_r50.py:41-52)."""
 
     out_channels: int = 256
     num_groups: int = 32
+    in_features: Optional[Sequence[str]] = None  # default: all, sorted
+    num_outs: Optional[int] = None  # default: len(in_features)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, feats: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        names = list(self.in_features) if self.in_features else sorted(feats.keys())
         out = {}
-        for name in sorted(feats.keys()):
+        for name in names:
             x = nn.Conv(
                 self.out_channels,
                 kernel_size=(1, 1),
@@ -50,10 +57,27 @@ class ChannelMapper(nn.Module):
                 dtype=self.dtype,
                 name=f"conv_{name}",
             )(feats[name])
-            x = nn.GroupNorm(epsilon=1e-5, 
+            x = nn.GroupNorm(epsilon=1e-5,
                 num_groups=self.num_groups, dtype=self.dtype, name=f"gn_{name}"
             )(x)
             out[name] = x
+        prev = feats[names[-1]]
+        for i in range((self.num_outs or len(names)) - len(names)):
+            x = nn.Conv(
+                self.out_channels,
+                kernel_size=(3, 3),
+                strides=(2, 2),
+                padding=((1, 1), (1, 1)),
+                use_bias=True,
+                dtype=self.dtype,
+                name=f"extra_conv_{i}",
+            )(prev)
+            x = nn.GroupNorm(
+                epsilon=1e-5, num_groups=self.num_groups, dtype=self.dtype,
+                name=f"extra_gn_{i}",
+            )(x)
+            out[f"extra{i}"] = x
+            prev = x
         return out
 
 

@@ -1,0 +1,191 @@
+"""ResNet-50 backbone parity vs a hand-built torch oracle encoding the
+reference's d2 spec (BasicStem + bottleneck stages, stride_in_1x1=False,
+FrozenBN = eval-mode BatchNorm — reference models/ape_deta_r50.py:25-34),
+through the converter's d2 naming, plus the extended ChannelMapper
+(in_features subset + stride-2 extra convs). torchvision isn't in this env,
+so the oracle is built from torch primitives with the exact same layout."""
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
+def _build_torch_resnet50(torch):
+    """d2 ResNet-50 as plain torch modules; names match d2's state dict
+    (stem.conv1, res{s}.{i}.conv{j}[.norm], res{s}.{i}.shortcut[.norm])."""
+    nn = torch.nn
+
+    def bn(c):
+        m = nn.BatchNorm2d(c)
+        with torch.no_grad():
+            m.running_mean.normal_(0, 0.5)
+            m.running_var.uniform_(0.5, 2.0)
+            m.weight.normal_(1.0, 0.2)
+            m.bias.normal_(0, 0.2)
+        return m
+
+    class ConvNorm(nn.Module):
+        def __init__(self, cin, cout, k, s, p):
+            super().__init__()
+            self.weight = nn.Parameter(torch.randn(cout, cin, k, k) * 0.05)
+            self.stride, self.padding = s, p
+            self.norm = bn(cout)
+
+        def forward(self, x):
+            return self.norm(
+                torch.nn.functional.conv2d(
+                    x, self.weight, stride=self.stride, padding=self.padding
+                )
+            )
+
+    class Bottleneck(nn.Module):
+        def __init__(self, cin, cout, cbottle, stride):
+            super().__init__()
+            self.conv1 = ConvNorm(cin, cbottle, 1, 1, 0)
+            self.conv2 = ConvNorm(cbottle, cbottle, 3, stride, 1)  # stride_in_1x1=False
+            self.conv3 = ConvNorm(cbottle, cout, 1, 1, 0)
+            self.shortcut = (
+                ConvNorm(cin, cout, 1, stride, 0) if (cin != cout or stride != 1) else None
+            )
+
+        def forward(self, x):
+            sc = self.shortcut(x) if self.shortcut is not None else x
+            y = torch.relu(self.conv1(x))
+            y = torch.relu(self.conv2(y))
+            return torch.relu(self.conv3(y) + sc)
+
+    class Stem(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = ConvNorm(3, 64, 7, 2, 3)
+
+        def forward(self, x):
+            x = torch.relu(self.conv1(x))
+            return torch.nn.functional.max_pool2d(x, 3, stride=2, padding=1)
+
+    class Net(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.stem = Stem()
+            cin, cout = 64, 256
+            for si, n in enumerate([3, 4, 6, 3]):
+                blocks = nn.Sequential(
+                    *[
+                        Bottleneck(
+                            cin if i == 0 else cout,
+                            cout,
+                            cout // 4,
+                            (1 if si == 0 else 2) if i == 0 else 1,
+                        )
+                        for i in range(n)
+                    ]
+                )
+                setattr(self, f"res{si + 2}", blocks)
+                cin, cout = cout, cout * 2
+
+        def forward(self, x):
+            feats = {}
+            x = self.stem(x)
+            for s in range(2, 6):
+                x = getattr(self, f"res{s}")(x)
+                feats[f"res{s}"] = x
+            return feats
+
+    return Net()
+
+
+def test_resnet50_parity():
+    torch = pytest.importorskip("torch")
+
+    torch.manual_seed(0)
+    ref = _build_torch_resnet50(torch).eval()
+
+    x_t = torch.randn(1, 3, 64, 96)
+    with torch.no_grad():
+        feats_ref = {k: v.numpy() for k, v in ref(x_t).items()}
+
+    import jax.numpy as jnp
+
+    from ape_tpu.checkpoint.convert import convert_torch_state_dict, unflatten_tree
+    from ape_tpu.modeling.backbone.resnet import ResNet
+
+    sd = {}
+    for k, v in ref.state_dict().items():
+        if "num_batches_tracked" in k:
+            continue
+        sd["backbone." + k] = v.detach().numpy()
+    flat = convert_torch_state_dict(sd)
+    params = unflatten_tree(flat)["backbone"]
+
+    model = ResNet(depth=50, freeze_at=1)
+    x = jnp.asarray(x_t.numpy().transpose(0, 2, 3, 1))
+    feats = model.apply({"params": params}, x)
+
+    for name, want in feats_ref.items():
+        got = np.asarray(feats[name]).transpose(0, 3, 1, 2)
+        assert got.shape == want.shape, (name, got.shape, want.shape)
+        # random N(0,0.05) oracle weights let magnitudes grow through 16
+        # blocks — compare relative to the layer's dynamic range
+        d = np.abs(got - want).max() / (np.abs(want).max() + 1e-6)
+        assert d < 1e-5, f"{name}: max rel diff {d}"
+
+
+def test_channel_mapper_extra_convs():
+    import jax
+    import jax.numpy as jnp
+
+    from ape_tpu.modeling.ape_deta.model import ChannelMapper
+
+    neck = ChannelMapper(
+        out_channels=32, num_groups=8,
+        in_features=("res3", "res4", "res5"), num_outs=5,
+    )
+    feats = {
+        "res2": jnp.ones((1, 32, 32, 8)),
+        "res3": jnp.ones((1, 16, 16, 16)),
+        "res4": jnp.ones((1, 8, 8, 24)),
+        "res5": jnp.ones((1, 4, 4, 40)),
+    }
+    params = neck.init(jax.random.PRNGKey(0), feats)["params"]
+    out = neck.apply({"params": params}, feats)
+    assert set(out.keys()) == {"res3", "res4", "res5", "extra0", "extra1"}
+    assert out["extra0"].shape == (1, 2, 2, 32)  # 3x3 s2 on raw res5
+    assert out["extra1"].shape == (1, 1, 1, 32)  # chained s2
+    # extra0 consumes the RAW res5 (40ch), not the mapped one (detrex semantics)
+    assert params["extra_conv_0"]["kernel"].shape == (3, 3, 40, 32)
+    assert params["extra_conv_1"]["kernel"].shape == (3, 3, 32, 32)
+    # res2 not in in_features -> untouched
+    assert "conv_res2" not in params
+
+
+def test_r50_model_forward():
+    """Full APEDeta-on-r50 forward at tiny dims: in_features res3-5+extras,
+    mask pixel decoder fed from res2 (reference r50 config wiring)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ape_tpu.config import ConfigDict, LazyConfig, instantiate
+
+    cfg = LazyConfig.load("configs/COCO_InstanceSegmentation/ape_deta/ape_deta_r50_12ep.py")
+    cfg.model.num_queries = 16
+    cfg.model.transformer.encoder.num_layers = 1
+    cfg.model.transformer.decoder.num_layers = 2
+    cfg.model.transformer.two_stage_num_proposals = 16
+    model = instantiate(ConfigDict(model=cfg.model))["model"]
+
+    rng = __import__("numpy").random.RandomState(0)
+    images = jnp.asarray(rng.randn(1, 64, 64, 3).astype("float32"))
+    sizes = jnp.asarray([[64, 48]], jnp.int32)
+    text = jnp.asarray(rng.randn(1, 4, 1024).astype("float32"))
+    tvalid = jnp.ones((1, 4), bool)
+    params = model.init(jax.random.PRNGKey(0), images, sizes, text, tvalid)
+    out = model.apply(params, images, sizes, text, tvalid)
+    assert out["pred_logits"].shape == (1, 16, 4)
+    assert out["pred_boxes"].shape == (1, 16, 4)
+    # mask features ride on res2 (stride 4): 64/4 = 16
+    assert out["pred_masks"].shape == (1, 16, 16, 16)
+    import numpy as np
+
+    for k in ("pred_logits", "pred_boxes", "pred_masks"):
+        assert np.isfinite(np.asarray(out[k])).all(), k
