@@ -1,0 +1,12 @@
+# EVA-01 ViT-g at LSJ 1536 (reference: configs/common/backbone/
+# vitg_eva01_1536.py — window 32, else as 1024).
+import os
+
+from ape_tpu.config import LazyConfig
+
+_dir = os.path.dirname(__file__)
+_base = LazyConfig.load(os.path.join(_dir, "vitg_eva01.py"))
+
+backbone = _base.backbone
+backbone.net.img_size = 1536
+backbone.net.window_size = 32

@@ -1,0 +1,11 @@
+# EVA-01-CLIP ViT-g at LSJ 1536 (reference: configs/common/backbone/
+# vitg_eva01_clip_1536.py — img/pad 1536, else as 1024).
+import os
+
+from ape_tpu.config import LazyConfig
+
+_dir = os.path.dirname(__file__)
+_base = LazyConfig.load(os.path.join(_dir, "vitg_eva01_clip_1024.py"))
+
+backbone = _base.backbone
+backbone.net.img_size = 1536

@@ -166,3 +166,74 @@ def test_eva01_vit_parity():
     got = np.transpose(np.asarray(ours.apply({"params": params}, jnp.asarray(x))), (0, 3, 1, 2))
     scale = np.abs(ref_out).max()
     assert np.abs(got - ref_out).max() < 2e-4 * max(scale, 1.0)
+
+
+def test_eva02_subln_vit_parity():
+    """EVA-02-L non-CLIP flavor (vit_eva02 module with subln=True +
+    naiveswiglu): separate q/k/v with q/v bias but NO inner_attn_ln (unlike
+    vit_eva_clip) and ffn_ln in the SwiGLU — the vitl_eva02.py backbone
+    config family (APE-L_A/B/C-style non-clip backbones)."""
+    torch = pytest.importorskip("torch")
+    mod = load_reference_module("vit_eva02.py", "vit_eva02")
+
+    torch.manual_seed(2)
+    img, embed, depth, heads, win = 32, 64, 2, 2, 2
+    ref = mod.ViT(
+        img_size=img, patch_size=16, embed_dim=embed, depth=depth,
+        num_heads=heads, mlp_ratio=4 * 2 / 3, drop_path_rate=0.0,
+        window_size=win, window_block_indexes=(0,), use_act_checkpoint=False,
+        pretrain_img_size=32, pt_hw_seq_len=2, rope=True,
+        swiglu=False, naiveswiglu=True, subln=True,
+        xattn=False, out_feature="last_feat",
+    ).eval()
+    sd = {f"backbone.net.{k}": v.detach().numpy() for k, v in ref.state_dict().items()
+          if "rope" not in k and "freqs" not in k}
+
+    import jax
+    import jax.numpy as jnp
+
+    from ape_tpu.checkpoint.convert import convert_torch_state_dict, flatten_tree, unflatten_tree
+    from ape_tpu.modeling.backbone.eva_vit import EVAViT
+
+    ours = EVAViT(
+        img_size=img, patch_size=16, embed_dim=embed, depth=depth,
+        num_heads=heads, mlp_ratio=4 * 2 / 3, window_size=win,
+        window_block_indexes=(0,), pretrain_img_size=32, pt_hw_seq_len=2,
+        subln=True, swiglu_subln=True,
+    )
+    x = np.random.RandomState(7).randn(1, img, img, 3).astype(np.float32)
+    template = ours.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    flat = convert_torch_state_dict(sd)
+    flat = {k.removeprefix("backbone/net/"): v for k, v in flat.items() if k.startswith("backbone/net/")}
+    tflat = flatten_tree(template)
+    missing = sorted(k for k in tflat if k not in flat)
+    assert not missing, f"unconverted: {missing}"
+    params = unflatten_tree({k: v for k, v in flat.items() if k in tflat})
+
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x).permute(0, 3, 1, 2))["last_feat"].numpy()
+    got = ours.apply({"params": params}, jnp.asarray(x))
+    got_nchw = np.transpose(np.asarray(got), (0, 3, 1, 2))
+    scale = np.abs(ref_out).max()
+    diff = np.abs(got_nchw - ref_out).max()
+    assert diff < 2e-4 * max(scale, 1.0), (diff, scale)
+
+
+def test_backbone_configs_construct():
+    """Every common/backbone config builds its module object (flag
+    compatibility with EVAViT — no param init, so vitg/vite stay cheap)."""
+    import glob
+    import os
+
+    from ape_tpu.config import ConfigDict, LazyConfig, instantiate
+    from ape_tpu.modeling.backbone.eva_vit import SimpleFeaturePyramid
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs", "common", "backbone")
+    paths = sorted(glob.glob(os.path.join(root, "*.py")))
+    assert len(paths) == 11  # reference parity: 11 backbone configs
+    for p in paths:
+        cfg = LazyConfig.load(p)
+        bb = instantiate(ConfigDict(backbone=cfg.backbone))["backbone"]
+        assert isinstance(bb, SimpleFeaturePyramid), p
+        expect = 1536 if "1536" in p else 1024
+        assert bb.net.img_size == expect, p
