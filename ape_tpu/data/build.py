@@ -119,9 +119,16 @@ class TrainLoader:
 def build_detection_train_loader(
     dataset_names, mapper, batch_size, sampler_name: str = "TrainingSampler",
     repeat_thresh: float = 0.001, seed: int = 0, rank: int = 0, world_size: int = 1,
-    dataset_id: int = 0, filter_empty: bool = True,
+    dataset_id: int = 0, filter_empty: bool = True, copypaste_prob: float = 0.0,
 ):
     dicts = get_detection_dataset_dicts(dataset_names, filter_empty, dataset_id)
+    if copypaste_prob > 0:
+        # the reference's _copypaste loader draws backgrounds from the group's
+        # own dataset pool (build_multi_dataset_copypaste.py:402-412, flagship
+        # data config dataset_bg = the same names) at copypaste_prob=0.5
+        from ape_tpu.data.copypaste import CopyPasteMapper
+
+        mapper = CopyPasteMapper(mapper, dicts, prob=copypaste_prob, seed=seed)
     if sampler_name == "RepeatFactorTrainingSampler":
         rf = repeat_factors_from_category_frequency(dicts, repeat_thresh)
         sampler = RepeatFactorTrainingSampler(rf, seed, rank, world_size)

@@ -23,9 +23,10 @@ train.dataset_ratio = [1, 1]
 train.dataset_prompts = ['name', 'name', 'name']
 
 
-def _group(names, sampler="TrainingSampler", prompt="name"):
+def _group(names, sampler="TrainingSampler", prompt="name", **kw):
     return dict(
         dataset_names=list(names),
+        **kw,
         mapper=L(DatasetMapperDETR)(image_size=1024, is_train=True),
         batch_size=16,
         sampler=sampler,
@@ -36,7 +37,7 @@ def _group(names, sampler="TrainingSampler", prompt="name"):
 dataloader = dict(
     train=dict(
         groups=[
-            _group(['sa1b_1m'], sampler='TrainingSampler', prompt='name'),
+            _group(['sa1b_1m'], sampler='TrainingSampler', prompt='name', filter_empty=False),
             _group(['coco_2017_train_panoptic'], sampler='TrainingSampler', prompt='name'),
         ],
     ),

@@ -23,9 +23,10 @@ train.dataset_ratio = [0.1]
 train.dataset_prompts = ['phrase', 'name']
 
 
-def _group(names, sampler="TrainingSampler", prompt="name"):
+def _group(names, sampler="TrainingSampler", prompt="name", **kw):
     return dict(
         dataset_names=list(names),
+        **kw,
         mapper=L(DatasetMapperDETR)(image_size=1024, is_train=True),
         batch_size=16,
         sampler=sampler,

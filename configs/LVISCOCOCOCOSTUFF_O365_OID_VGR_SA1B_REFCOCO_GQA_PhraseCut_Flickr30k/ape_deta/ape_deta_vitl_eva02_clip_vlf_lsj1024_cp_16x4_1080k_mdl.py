@@ -93,9 +93,10 @@ train = dict(
 )
 
 
-def _group(names, sampler="TrainingSampler", prompt="name"):
+def _group(names, sampler="TrainingSampler", prompt="name", **kw):
     return dict(
         dataset_names=list(names),
+        **kw,
         mapper=L(DatasetMapperDETR)(image_size=1024, is_train=True),
         batch_size=16,
         sampler=sampler,
@@ -107,12 +108,12 @@ dataloader = dict(
     train=dict(
         groups=[
             _group(["lvis_v1_train+coco", "coco_2017_train_panoptic_stuffonly"],
-                   sampler="RepeatFactorTrainingSampler"),
+                   sampler="RepeatFactorTrainingSampler", copypaste_prob=0.5),
             _group(["objects365_train_fixname"]),
             _group(["openimages_v6_train_bbox_nogroup"],
                    sampler="RepeatFactorTrainingSampler"),
             _group(["visualgenome_77962_box_and_region"], prompt="phrase"),
-            _group(["sa1b_1m"], prompt="name"),
+            _group(["sa1b_1m"], prompt="name", filter_empty=False),
             _group(["refcoco-mixed_group-by-image"], prompt="phrase"),
             _group(["gqa_region_train"], prompt="phrase"),
             _group(["phrasecut_train"], prompt="phrase"),

@@ -23,9 +23,10 @@ train.dataset_ratio = [1, 1, 1, 0.1, 0.1]
 train.dataset_prompts = ['name', 'name', 'name', 'phrase', 'phrase', 'name']
 
 
-def _group(names, sampler="TrainingSampler", prompt="name"):
+def _group(names, sampler="TrainingSampler", prompt="name", **kw):
     return dict(
         dataset_names=list(names),
+        **kw,
         mapper=L(DatasetMapperDETR)(image_size=1024, is_train=True),
         batch_size=16,
         sampler=sampler,
@@ -36,7 +37,7 @@ def _group(names, sampler="TrainingSampler", prompt="name"):
 dataloader = dict(
     train=dict(
         groups=[
-            _group(['lvis_v1_train+coco', 'coco_2017_train_panoptic_stuffonly'], sampler='RepeatFactorTrainingSampler', prompt='name'),
+            _group(['lvis_v1_train+coco', 'coco_2017_train_panoptic_stuffonly'], sampler='RepeatFactorTrainingSampler', prompt='name', copypaste_prob=0.5),
             _group(['objects365_train_fixname'], sampler='TrainingSampler', prompt='name'),
             _group(['openimages_v6_train_bbox_nogroup'], sampler='RepeatFactorTrainingSampler', prompt='name'),
             _group(['visualgenome_77962_box_and_region'], sampler='TrainingSampler', prompt='phrase'),

@@ -161,3 +161,28 @@ def test_copypaste(rng):
     out = copypaste(fg, bg, np.random.RandomState(0))
     assert out["targets"]["valid"].sum() >= bg["targets"]["valid"].sum()
     assert out["copypaste"] == 1
+
+
+def test_train_loader_copypaste_wiring(tmp_path, rng):
+    """copypaste_prob>0 on build_detection_train_loader wraps the mapper with
+    CopyPasteMapper drawing backgrounds from the group's own pool (reference
+    build_multi_dataset_copypaste.py:402-412; the cp config families)."""
+    jp, img_dir = make_coco_json(tmp_path, n_images=4)
+    name = "cp_wiring_test"
+    if name not in DatasetCatalog:
+        register_coco_instances(name, {}, jp, img_dir)
+
+    from ape_tpu.data.build import build_detection_train_loader
+    from ape_tpu.data.mapper import DatasetMapperDETR
+
+    mapper = DatasetMapperDETR(is_train=True, image_size=64, max_gt=8, mask_size=16)
+    loader = build_detection_train_loader(
+        [name], mapper, batch_size=2, copypaste_prob=1.0, seed=0
+    )
+    from ape_tpu.data.copypaste import CopyPasteMapper
+
+    assert isinstance(loader.mapper, CopyPasteMapper)
+    batch = next(iter(loader))
+    assert batch["images"].shape[0] == 2
+    # prob=1.0: every record that survived mapping went through the paste op
+    assert batch["targets"]["valid"].any()

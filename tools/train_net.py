@@ -214,6 +214,8 @@ def do_train(args, cfg):
                     g.get("sampler", "TrainingSampler"),
                     seed=int(train.get("seed", 0)) + i,
                     dataset_id=i,
+                    filter_empty=bool(g.get("filter_empty", True)),
+                    copypaste_prob=float(g.get("copypaste_prob", 0.0)),
                 )
             )
     else:
