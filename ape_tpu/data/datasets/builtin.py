@@ -69,6 +69,18 @@ _COCO_STYLE = {
     "flickr30k_separateGT_val": ("flickr30k/annotations/final_flickr_separateGT_val.json", "flickr30k/images", "refcoco"),
     "flickr30k_separateGT_test": ("flickr30k/annotations/final_flickr_separateGT_test.json", "flickr30k/images", "refcoco"),
     "grit_5m": ("grit/annotations/grit_5m.json", "grit/images", "coco"),
+    "grit": ("grit/annotations/grit.json", "grit/images", "coco"),
+    # reference data configs also name the full/4m+ SA-1B splits and the
+    # non-grouped refcoco-mixed (refcoco.py:311, sa1b.py:21-27)
+    "sa1b": ("sa1b/annotations/sa1b.json", "sa1b/images", "coco"),
+    "sa1b_4m": ("sa1b/annotations/sa1b_4m.json", "sa1b/images", "coco"),
+    "sa1b_6m": ("sa1b/annotations/sa1b_6m.json", "sa1b/images", "coco"),
+    "sa1b_8m": ("sa1b/annotations/sa1b_8m.json", "sa1b/images", "coco"),
+    "sa1b_10m": ("sa1b/annotations/sa1b_10m.json", "sa1b/images", "coco"),
+    "refcoco-mixed": ("refcoco/annotations/refcoco-mixed.json", "coco/train2014", "refcoco"),
+    "visualgenome_150_box_val": (
+        "visualgenome/annotations/visualgenome_150_box_val.json", "visualgenome/images", "coco"
+    ),
     "visualgenome_region_val": ("visualgenome/annotations/val_region.json", "visualgenome/images", "refcoco"),
     # COCO-Stuff semantic eval via the panoptic stuff-only group
     "coco_2017_val_panoptic_stuffonly": (
@@ -82,6 +94,25 @@ ODINW_13 = [
     "VehiclesOpenImages", "pistols", "pothole", "thermalDogsAndPeople",
 ]
 
+# the ODinW-13 eval split names exactly as the reference evaluates them
+# (configs/common/data/odinw13_instance_lsj1024.py:88-102 — _test splits,
+# PascalVOC on _val)
+ODINW_13_TEST = [
+    "odinw_AerialMaritimeDrone_large_test",
+    "odinw_Aquarium_Aquarium_Combined.v2-raw-1024.coco_test",
+    "odinw_CottontailRabbits_test",
+    "odinw_EgoHands_generic_test",
+    "odinw_NorthAmericaMushrooms_North_American_Mushrooms.v1-416x416.coco_test",
+    "odinw_Packages_Raw_test",
+    "odinw_PascalVOC_val",
+    "odinw_pistols_export_test",
+    "odinw_pothole_test",
+    "odinw_Raccoon_Raccoon.v2-raw.coco_test",
+    "odinw_ShellfishOpenImages_raw_test",
+    "odinw_thermalDogsAndPeople_test",
+    "odinw_VehiclesOpenImages_416x416_test",
+]
+
 # panoptic datasets: name -> (panoptic json, image root, panoptic png root)
 # (reference registers these via detectron2 register_coco_panoptic; the eval
 # task dirs COCO/ADE20k/BDD10k/Cityscapes/PascalVOCParts_PanopticSegmentation)
@@ -92,10 +123,25 @@ _PANOPTIC = {
     "coco_2017_val_panoptic": (
         "coco/annotations/panoptic_val2017.json", "coco/val2017", "coco/panoptic_val2017"
     ),
+    "ade20k_panoptic_train": (
+        "ADEChallengeData2016/ade20k_panoptic_train.json",
+        "ADEChallengeData2016/images/training",
+        "ADEChallengeData2016/ade20k_panoptic_train",
+    ),
     "ade20k_panoptic_val": (
         "ADEChallengeData2016/ade20k_panoptic_val.json",
         "ADEChallengeData2016/images/validation",
         "ADEChallengeData2016/ade20k_panoptic_val",
+    ),
+    "cityscapes_fine_panoptic_train": (
+        "cityscapes/gtFine/cityscapes_panoptic_train.json",
+        "cityscapes/leftImg8bit/train",
+        "cityscapes/gtFine/cityscapes_panoptic_train",
+    ),
+    "pascalvocpart_train": (
+        "VOCdevkit/VOC2010/pascal_parts_panoptic_train.json",
+        "VOCdevkit/VOC2010/JPEGImages",
+        "VOCdevkit/VOC2010/pascal_parts_panoptic_train",
     ),
     "bdd10k_40_panoptic_val": (
         "bdd100k/labels/pan_seg/panoptic_val.json",
@@ -116,6 +162,15 @@ _PANOPTIC = {
 
 # semantic segmentation datasets (ade20k, pascal context, voc, bdd, cityscapes)
 _SEM_SEG = {
+    # train splits (the *_SemanticSegmentation training configs)
+    "ade20k_sem_seg_train": ("ADEChallengeData2016/annotations_detectron2/training", "ADEChallengeData2016/images/training"),
+    "ade20k_full_sem_seg_train": ("ADE20K_2021_17_01/annotations_detectron2/training", "ADE20K_2021_17_01/images/training"),
+    "cityscapes_fine_sem_seg_train": ("cityscapes/gtFine/cityscapes_panoptic_train", "cityscapes/leftImg8bit/train"),
+    "bdd10k_sem_seg_train": ("bdd100k/labels/sem_seg/masks/train", "bdd100k/images/10k/train"),
+    # reference-name aliases (bdd10k_semantic_lsj1024.py names it
+    # bdd10k_val_sem_seg; pascalvoc20_semantic_lsj1024.py pascalvoc20_…)
+    "bdd10k_val_sem_seg": ("bdd100k/labels/sem_seg/masks/val", "bdd100k/images/10k/val"),
+    "pascalvoc20_sem_seg_val": ("VOCdevkit/VOC2012/annotations_detectron2/val", "VOCdevkit/VOC2012/JPEGImages"),
     "ade20k_sem_seg_val": ("ADEChallengeData2016/annotations_detectron2/validation", "ADEChallengeData2016/images/validation"),
     "ade20k_full_sem_seg_val": ("ADE20K_2021_17_01/annotations_detectron2/validation", "ADE20K_2021_17_01/images/validation"),
     "pascal_context_59_sem_seg_val": ("VOCdevkit/VOC2010/annotations_detectron2/pc59_val", "VOCdevkit/VOC2010/JPEGImages"),

@@ -4,7 +4,7 @@ import os
 
 from ape_tpu.config import L, LazyConfig
 from ape_tpu.data.mapper import DatasetMapperDETR
-from ape_tpu.data.datasets.builtin import ODINW_13
+from ape_tpu.data.datasets.builtin import ODINW_13_TEST
 
 _dir = os.path.dirname(__file__)
 _base = LazyConfig.load(
@@ -21,10 +21,10 @@ dataloader = dict(
     train=dict(dataset_names=[], mapper=None, batch_size=1),
     tests=[
         dict(
-            dataset_name=f"odinw_{n}_valid",
+            dataset_name=n,
             mapper=L(DatasetMapperDETR)(is_train=False, image_size=1024),
             evaluator_type="coco",
         )
-        for n in ODINW_13
+        for n in ODINW_13_TEST
     ],
 )

@@ -60,3 +60,39 @@ def test_criterion_instantiates(path):
                 f"{os.path.basename(path)}: use_fed_loss without weights"
             )
             assert crit.fed_loss_cls_weights.shape[0] == crit.num_classes
+
+
+DATA_CONFIGS = sorted(
+    p
+    for p in glob.glob(os.path.join(CFG_ROOT, "common", "data", "*.py"))
+    if not p.endswith("constants.py")
+)
+
+
+@pytest.mark.parametrize(
+    "path", DATA_CONFIGS, ids=lambda p: os.path.relpath(p, CFG_ROOT)
+)
+def test_data_config_loads(path):
+    """The common/data fan-out (reference configs/common/data/ — 77 files):
+    every file exposes a well-formed dataloader in the group schema."""
+    from ape_tpu.config import LazyConfig, instantiate
+
+    cfg = LazyConfig.load(path)
+    dl = cfg.dataloader
+    assert "train" in dl and "tests" in dl
+    groups = dl["train"].get("groups") or (
+        [dl["train"]] if dl["train"].get("dataset_names") else []
+    )
+    for g in groups:
+        assert g["dataset_names"]
+        # the mapper node instantiates (image_size etc. accepted)
+        m = instantiate(g["mapper"])
+        assert m is not None
+    for t in dl["tests"]:
+        assert t["dataset_name"]
+        assert instantiate(t["mapper"]) is not None
+
+
+def test_data_config_count_matches_reference():
+    # reference configs/common/data has 77 files; ours adds coco.py (legacy)
+    assert len(DATA_CONFIGS) >= 76
