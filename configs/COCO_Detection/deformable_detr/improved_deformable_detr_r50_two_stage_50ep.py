@@ -1,0 +1,47 @@
+# Auto-generated task config mirroring the reference
+# configs/COCO_Detection/deformable_detr/improved_deformable_detr_r50_two_stage_50ep.py (same recipe expressed against this repo's model tree;
+# see tools/gen_task_configs.py).
+import os
+
+from ape_tpu.config import L, LazyConfig
+from ape_tpu.data.datasets.metadata import fed_loss_cls_weights
+
+_dir = os.path.dirname(__file__)
+
+_base = LazyConfig.load(os.path.join(_dir, "../../common/models/ape_deta_r50.py"))
+model = _base.model
+model.num_learned_classes = 80
+model.mask_on = False
+
+_data = LazyConfig.load(os.path.join(_dir, "../../common/data/coco_instance_lsj1024.py"))
+dataloader = _data.dataloader
+
+criterion = _base.criterion
+criterion.num_classes = 80
+
+optimizer = dict(
+    base_lr=2e-4,
+    weight_decay=0.0001,
+    grad_clip=0.1,
+    vit_num_layers=0,
+    layer_decay=1.0,
+    backbone_lr_mult=0.1,
+    milestones=[330000, 375000],
+    warmup_steps=2000,
+)
+
+train = dict(
+    output_dir="./output/improved_deformable_detr_r50_two_stage_50ep",
+    max_iter=375000,
+    checkpoint_period=5000,
+    log_period=20,
+    eval_period=20000,
+    iter_size=1,
+    ema_decay=0.0,
+    init_checkpoint="",
+    seed=0,
+    fast_dev_run=dict(enabled=False),
+    image_size=1024,
+    num_text=96,
+    text_dim=1024,
+)

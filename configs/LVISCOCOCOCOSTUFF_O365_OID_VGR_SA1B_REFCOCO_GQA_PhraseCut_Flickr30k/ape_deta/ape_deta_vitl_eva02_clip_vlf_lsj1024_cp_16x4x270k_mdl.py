@@ -1,0 +1,85 @@
+# Auto-generated task config mirroring the reference
+# configs/LVISCOCOCOCOSTUFF_O365_OID_VGR_SA1B_REFCOCO_GQA_PhraseCut_Flickr30k/ape_deta/ape_deta_vitl_eva02_clip_vlf_lsj1024_cp_16x4x270k_mdl.py (same recipe expressed against this repo's model tree;
+# see tools/gen_task_configs.py).
+import os
+
+from ape_tpu.config import L, LazyConfig
+from ape_tpu.data.datasets.metadata import fed_loss_cls_weights
+
+_dir = os.path.dirname(__file__)
+
+_base = LazyConfig.load(os.path.join(_dir, "../../common/models/ape_deta.py"))
+_bb = LazyConfig.load(os.path.join(_dir, "../../common/backbone/vitl_eva02_clip.py"))
+model = _base.model
+model.backbone = _bb.backbone
+model.transformer.encoder.vl_fusion = True
+model.transformer.encoder.vl_embed_dim = 2048
+model.transformer.encoder.vl_init_values = 1.0 / 6
+model.transformer.encoder.use_act_checkpoint = True
+
+_data = LazyConfig.load(os.path.join(_dir, "../../common/data/lviscocococostuff_o365_oid_vgr_sa1b_refcoco_group_by_image_gqa_phrasecut_flickr30k_panoptic_lsj1024_cp.py"))
+dataloader = _data.dataloader
+
+criterions = []
+_TAGS = ['lviscoco', 'o365', 'oid', 'vg', 'sa1b', 'refcoco', 'gqa', 'phrasecut', 'flickr']
+_INFO = {
+    'flickr': (256, None),
+    'gqa': (256, None),
+    'lviscoco': (1256, 'lvis_v1_train'),
+    'o365': (365, None),
+    'oid': (601, 'openimages_v6'),
+    'phrasecut': (256, None),
+    'refcoco': (256, None),
+    'sa1b': (1, None),
+    'vg': (256, None),
+}
+for _tag in _TAGS:
+    _nc, _fedw = _INFO[_tag]
+    c = _base.criterion.clone()
+    c.num_classes = _nc
+    if _fedw is not None:
+        c.use_fed_loss = True
+        c.fed_loss_num_classes = 50
+        c.fed_loss_cls_weights = L(fed_loss_cls_weights)(dataset=_fedw)
+        if _tag == "lviscoco":
+            c.fed_loss_pad_type = "cat"
+    if _tag in ("vg", "gqa", "phrasecut", "flickr"):
+        c.weight_dict = dict(c.weight_dict)
+        c.weight_dict["loss_class_enc"] = 0.0
+    if _tag == "sa1b":
+        c.weight_dict = dict(c.weight_dict)
+        c.weight_dict["loss_class"] = 0.0
+    criterions.append(c)
+criterion = criterions[0]
+
+language = dict(
+    width=1024, heads=16, layers=24, output_dim=1024,
+    bpe_path=os.environ.get("CLIP_BPE_PATH", ""), max_batch_size=256,
+)
+
+optimizer = dict(
+    base_lr=2e-4,
+    weight_decay=0.05,
+    grad_clip=0.1,
+    vit_num_layers=24,
+    layer_decay=0.8,
+    milestones=[225000],
+    warmup_steps=2000,
+)
+
+train = dict(
+    output_dir="./output/ape_deta_vitl_eva02_clip_vlf_lsj1024_cp_16x4x270k_mdl",
+    max_iter=270000,
+    checkpoint_period=5000,
+    log_period=20,
+    eval_period=20000,
+    iter_size=4,
+    ema_decay=0.0,
+    init_checkpoint="",
+    seed=0,
+    fast_dev_run=dict(enabled=False),
+    image_size=1024,
+    num_text=1280,
+    text_dim=1024,
+    dataset_ratio=[1.0, 1.0, 1.0, 1.0, 1.0, 0.1, 0.1, 0.1, 0.1],
+)

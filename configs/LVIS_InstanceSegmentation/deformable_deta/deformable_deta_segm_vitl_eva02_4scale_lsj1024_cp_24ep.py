@@ -1,0 +1,68 @@
+# Auto-generated task config mirroring the reference
+# configs/LVIS_InstanceSegmentation/deformable_deta/deformable_deta_segm_vitl_eva02_4scale_lsj1024_cp_24ep.py (same recipe expressed against this repo's model tree;
+# see tools/gen_task_configs.py).
+import os
+
+from ape_tpu.config import L, LazyConfig
+from ape_tpu.data.datasets.metadata import fed_loss_cls_weights
+
+_dir = os.path.dirname(__file__)
+
+_base = LazyConfig.load(os.path.join(_dir, "../../common/models/ape_deta.py"))
+from ape_tpu.modeling.backbone.eva_vit import EVAViT, SimpleFeaturePyramid
+
+model = _base.model
+model.backbone = L(SimpleFeaturePyramid)(
+    net=L(EVAViT)(
+        img_size=1024,
+        patch_size=16,
+        embed_dim=1024,
+        depth=24,
+        num_heads=16,
+        window_size=16,
+        window_block_indexes=tuple(
+            i for i in range(24) if (i + 1) % 6 != 0
+        ),
+        rope=True,
+        use_rel_pos=False,
+        subln=True, swiglu_subln=True,
+        pretrain_img_size=224,
+    ),
+    out_channels=256,
+)
+model.num_learned_classes = 1203
+
+_data = LazyConfig.load(os.path.join(_dir, "../../common/data/lvis_instance_lsj1024_cp.py"))
+dataloader = _data.dataloader
+
+criterion = _base.criterion
+criterion.num_classes = 1203
+criterion.use_fed_loss = True
+criterion.fed_loss_num_classes = 50
+criterion.fed_loss_cls_weights = L(fed_loss_cls_weights)(dataset="lvis_v1_train")
+
+optimizer = dict(
+    base_lr=2e-4,
+    weight_decay=0.05,
+    grad_clip=0.1,
+    vit_num_layers=24,
+    layer_decay=0.8,
+    milestones=[150000, 180000],
+    warmup_steps=2000,
+)
+
+train = dict(
+    output_dir="./output/deformable_deta_segm_vitl_eva02_4scale_lsj1024_cp_24ep",
+    max_iter=180000,
+    checkpoint_period=5000,
+    log_period=20,
+    eval_period=20000,
+    iter_size=1,
+    ema_decay=0.0,
+    init_checkpoint="",
+    seed=0,
+    fast_dev_run=dict(enabled=False),
+    image_size=1024,
+    num_text=1216,
+    text_dim=1024,
+)

@@ -15,7 +15,8 @@ CFG_ROOT = os.path.join(os.path.dirname(__file__), "..", "configs")
 ALL_CONFIGS = sorted(
     p
     for p in glob.glob(os.path.join(CFG_ROOT, "**", "*.py"), recursive=True)
-    if "/common/" not in p
+    # common/ and task-local models/ dirs are building blocks, not entry points
+    if "/common/" not in p and "/models/" not in p
 )
 
 

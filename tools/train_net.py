@@ -176,11 +176,19 @@ def do_train(args, cfg):
 
     groups = _train_groups(cfg)
     micro_bs = [int(g.get("batch_size", 1)) for g in groups]
-    n_dev = len(jax.devices())
+    # train.fsdp > 1 carves an fsdp axis out of the device pool (the
+    # reference's train_net_fsdp.py / create_fsdp_model FULL_SHARD surface);
+    # param_sharding shards big leaves over it, data rides the rest.
+    fsdp = max(1, int(train.get("fsdp", 1)))
+    avail = len(jax.devices())
+    fsdp = math.gcd(fsdp, avail)
+    n_dev = avail // fsdp
     for b in micro_bs:
         n_dev = math.gcd(b, n_dev)
     n_dev = n_dev or 1
-    mesh = make_mesh(n_devices=n_dev)
+    mesh = make_mesh(n_devices=n_dev * fsdp, fsdp=fsdp)
+    if fsdp > 1:
+        logger.info(f"FSDP enabled: mesh (data={n_dev}, fsdp={fsdp})")
     params = jax.device_put(params, param_sharding(mesh, params))
     state = create_train_state(params, tx, ema=train.get("ema_decay", 0) > 0)
 
