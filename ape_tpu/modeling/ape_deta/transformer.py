@@ -375,6 +375,10 @@ class DeformableTransformerDecoder(nn.Module):
     num_feature_levels: int = 5
     num_points: int = 4
     look_forward_twice: bool = True
+    # False = plain deformable DETR: references are never updated between
+    # layers (legacy deformable_detr_r50_50ep recipe); True = iterative box
+    # refinement (every ape_deta / deformable_deta config)
+    with_box_refine: bool = True
     use_act_checkpoint: bool = False
     # extra copies of the enc-stage class/bbox heads whose per-proposal argmax
     # wins the first stage (deformable_detr.py:188-201, used by the reference
@@ -453,19 +457,32 @@ class DeformableTransformerDecoder(nn.Module):
             )(x, query_pos, memory, valid_mask, spatial_shapes, ref_input)
 
             delta = self.bbox_embed[i](x)
-            new_refs = jax.nn.sigmoid(delta + inverse_sigmoid(refs))
+            if refs.shape[-1] == 4:
+                new_refs = jax.nn.sigmoid(delta + inverse_sigmoid(refs))
+            else:
+                # single-stage 2-coord reference points (the legacy
+                # deformable_detr family): xy refines against the reference,
+                # wh comes straight from the head (deformable DETR box head
+                # semantics for 2-dim refs); refs become 4-dim from here on
+                new_refs = jax.nn.sigmoid(
+                    jnp.concatenate(
+                        [delta[..., :2] + inverse_sigmoid(refs), delta[..., 2:]],
+                        axis=-1,
+                    )
+                )
             inter_states.append(x)
             # look_forward_twice (reference deformable_transformer_vl.py:245-251
             # + deformable_detr.py box head): the layer-i box is predicted on
             # top of the PREVIOUS layer's un-detached refinement, so gradient
             # flows through delta_i AND delta_{i-1} ("twice"). Forward values
             # are identical in both arms (the bases differ only by detachment).
-            if self.look_forward_twice:
+            if self.look_forward_twice and prev_live.shape[-1] == 4:
                 output_coords.append(jax.nn.sigmoid(delta + inverse_sigmoid(prev_live)))
             else:
                 output_coords.append(new_refs)
             prev_live = new_refs
-            refs = jax.lax.stop_gradient(new_refs)
+            if self.with_box_refine:
+                refs = jax.lax.stop_gradient(new_refs)
 
         return (
             jnp.stack(inter_states),  # (num_layers, B, K, C)
@@ -480,6 +497,11 @@ class DeformableDetrTransformer(nn.Module):
     decoder: DeformableTransformerDecoder
     num_feature_levels: int = 5
     two_stage_num_proposals: int = 900
+    # False = single-stage deformable DETR: learned query embeddings and
+    # Linear(query_pos)->2 sigmoid reference points instead of encoder
+    # proposals (the legacy deformable_detr_r50 recipes; reference
+    # deformable_transformer.py as_two_stage=False branch)
+    as_two_stage: bool = True
     assign_first_stage: bool = True
     pre_nms_topk: int = 1000
     nms_thresh_enc: float = 0.9
@@ -527,6 +549,36 @@ class DeformableDetrTransformer(nn.Module):
         memory, text = self.encoder(
             feat, pos, valid, text, text_valid, spatial_shapes, enc_refs, grid_corr
         )
+
+        if not self.as_two_stage:
+            k = self.two_stage_num_proposals
+            qe = self.param(
+                "query_embed", nn.initializers.normal(1.0), (k, 2 * c)
+            ).astype(feat.dtype)
+            query_pos, query = jnp.split(qe[None].repeat(b, axis=0), 2, axis=-1)
+            init_reference = jax.nn.sigmoid(
+                nn.Dense(2, dtype=self.dtype, name="reference_points")(query_pos)
+            )
+            inter_states, output_coords = self.decoder(
+                query, query_pos, memory, valid, spatial_shapes,
+                init_reference, valid_ratios,
+            )
+            s = feat.shape[1]
+            return {
+                "inter_states": inter_states,
+                "output_coords": output_coords,
+                "init_reference": init_reference,
+                # no encoder stage: placeholders with proposal_valid=False so
+                # the stage-1 loss contributes nothing
+                "enc_logits": jnp.zeros((b, s), feat.dtype),
+                "enc_coords": jnp.full((b, s, 4), 0.5, feat.dtype),
+                "proposals": jnp.full((b, s, 4), 0.5, feat.dtype),
+                "proposal_valid": jnp.zeros((b, s), bool),
+                "memory": memory,
+                "text": text,
+                "valid_mask": valid,
+                "spatial_shapes": spatial_shapes,
+            }
 
         out_memory, proposals_unact, proposal_valid = gen_output_proposals(
             memory, valid, spatial_shapes, valid_ratios, mask_prompt

@@ -86,3 +86,45 @@ def test_criterion_on_model_outputs(rng):
     assert np.isfinite(float(total)), losses
     assert "loss_class" in losses and "loss_class_enc" in losses
     assert "loss_class_0" in losses  # aux layers
+
+
+def test_single_stage_detr_forward(rng):
+    """as_two_stage=False: learned query embeddings + 2-coord reference
+    points (legacy deformable_detr_r50 family), with and without box
+    refinement; criterion with use_stage2=False computes a finite loss."""
+    from ape_tpu.config import ConfigDict, LazyConfig, instantiate
+
+    for refine in (False, True):
+        cfg = LazyConfig.load("configs/tests/ape_deta_tiny.py")
+        cfg.model.num_queries = 16
+        cfg.model.num_learned_classes = 8
+        cfg.model.mask_on = False
+        cfg.model.transformer.two_stage_num_proposals = 16
+        cfg.model.transformer.as_two_stage = False
+        cfg.model.transformer.decoder.with_box_refine = refine
+        cfg.criterion.use_stage2 = False
+        cfg.criterion.losses = ["class", "boxes"]
+        cfg.criterion.weight_dict = {"loss_class": 2.0, "loss_bbox": 5.0, "loss_giou": 2.0}
+        objs = instantiate(ConfigDict(model=cfg.model, criterion=cfg.criterion))
+        model, criterion = objs["model"], objs["criterion"]
+
+        images, sizes, text, tvalid = make_inputs(rng)
+        params = model.init(jax.random.PRNGKey(0), images, sizes, text, tvalid)
+        out = model.apply(params, images, sizes, text, tvalid)
+        assert out["pred_logits"].shape == (1, 16, 8)
+        assert out["pred_boxes"].shape == (1, 16, 4)
+        assert out["init_reference"].shape == (1, 16, 2)
+        assert not bool(np.asarray(out["enc_outputs"]["valid"]).any())
+        # single-stage query path has learned query embeddings
+        flat = jax.tree_util.tree_leaves_with_path(params)
+        names = {"/".join(str(getattr(p, "key", p)) for p in path) for path, _ in flat}
+        assert any("query_embed" in n for n in names)
+
+        targets = {
+            "labels": jnp.zeros((1, 4), jnp.int32),
+            "boxes": jnp.asarray([[[0.5, 0.5, 0.2, 0.2]] * 4], jnp.float32),
+            "valid": jnp.asarray([[True, True, False, False]]),
+        }
+        losses = criterion(jax.random.PRNGKey(1), out, targets, jnp.asarray(2.0))
+        total = criterion.total(losses)
+        assert np.isfinite(float(total)), losses
