@@ -146,6 +146,9 @@ _RULES = [
     (r"transformer\.pix_trans\.bias", "transformer/pix_trans/bias", None),
     (r"transformer\.pix_trans_norm\.weight", "transformer/pix_trans_norm/scale", None),
     (r"transformer\.pix_trans_norm\.bias", "transformer/pix_trans_norm/bias", None),
+    # trained "learnable" name-prompt fusion token (segm_vl.py:155-158); the
+    # frozen "zero" variant is dropped by the zero-token fast path in the model
+    (r"name_prompt_fusion_feature", "name_prompt_fusion_feature", None),
 ]
 
 _LEVELS = ("p2", "p3", "p4", "p5", "p6")

@@ -42,6 +42,9 @@ class APE:
         test_score_thresh: float = 0.05,
         test_nms_thresh: float = 0.5,
         select_box_nums_for_evaluation: int = 300,
+        select_box_nums_for_evaluation_list: Optional[Sequence[int]] = None,
+        name_prompt_fusion_text: Optional[Sequence[bool]] = None,
+        name_prompt_fusion_type: str = "zero",
         instance_on: bool = True,
         semantic_on: bool = True,
         panoptic_on: bool = False,
@@ -54,29 +57,48 @@ class APE:
         self.max_text = max_text
         self.test_score_thresh = test_score_thresh
         self.test_nms_thresh = test_nms_thresh
+        self.select_box_nums_default = select_box_nums_for_evaluation
         self.select_box_nums = select_box_nums_for_evaluation
+        # per-dataset eval protocol (reference deformable_detr.py:195-196 /
+        # segm_vl.py:342-360): benchmark-suite configs set a per-dataset box
+        # budget and whether "name" prompts fuse against the real text or the
+        # name_prompt_fusion_feature token
+        self.select_box_nums_list = (
+            list(select_box_nums_for_evaluation_list)
+            if select_box_nums_for_evaluation_list is not None
+            else None
+        )
+        self.name_prompt_fusion_text = (
+            list(name_prompt_fusion_text) if name_prompt_fusion_text is not None else None
+        )
+        self.name_prompt_fusion_type = name_prompt_fusion_type
         self.instance_on = instance_on
         self.semantic_on = semantic_on
         self.panoptic_on = panoptic_on
         self.eval_dataset_id = 0 if self.metadata_list else -1
+        self._apply_dataset_protocol()
         self._text_cache: Dict[tuple, np.ndarray] = {}
 
-        # align_on_fused is static per prompt type: "name" prompts align
-        # against the ORIGINAL text features (VL fusion only updates vision,
-        # segm_vl.py:445-448), phrase/expression against the fused ones
+        # align_on_fused and fusion_text_mode are static per prompt type /
+        # dataset: "name" prompts align against the ORIGINAL text features
+        # (VL fusion only updates vision, segm_vl.py:445-448) and fuse against
+        # text or the fusion token per name_prompt_fusion_text; phrase/
+        # expression prompts align on the fused text
         self._forward = jax.jit(
-            lambda p, img, sz, txt, tv, fused: self.model.apply(
-                {"params": p}, img, sz, txt, tv, align_on_fused=fused
+            lambda p, img, sz, txt, tv, fused, fmode: self.model.apply(
+                {"params": p}, img, sz, txt, tv,
+                align_on_fused=fused, fusion_text_mode=fmode,
             ),
-            static_argnums=(5,),
+            static_argnums=(5, 6),
         )
         self._post_instance = jax.jit(
-            lambda lo, bx, sz, cv: instance_inference(
+            lambda lo, bx, sz, cv, topk: instance_inference(
                 lo, bx, sz, cv,
                 score_thresh=self.test_score_thresh,
                 nms_thresh=self.test_nms_thresh,
-                topk=self.select_box_nums,
+                topk=topk,
             ),
+            static_argnums=(4,),
         )
         self._post_semantic = jax.jit(semantic_inference)
 
@@ -114,13 +136,18 @@ class APE:
             np.asarray(jax.tree_util.tree_leaves(out)[0])[..., :1]
             return (time.perf_counter() - t0) / iters
 
-        fused = self._prompt_type(inp) != "name"
-        full_t = timed(self._forward, self.params, images, sizes, txt, tvalid, fused)
+        ptype = self._prompt_type(inp)
+        fused = ptype != "name"
+        fmode = self._fusion_mode(ptype)
+        full_t = timed(
+            self._forward, self.params, images, sizes, txt, tvalid, fused, fmode
+        )
         bb_t = timed(bb_apply, self.params, images)
-        out = self._forward(self.params, images, sizes, txt, tvalid, fused)
+        out = self._forward(self.params, images, sizes, txt, tvalid, fused, fmode)
         post_t = timed(
             self._post_instance,
             out["pred_logits"][0], out["pred_boxes"][0], sizes[0], tvalid[0],
+            self.select_box_nums,
         )
         return {
             "backbone_time": bb_t,
@@ -131,13 +158,47 @@ class APE:
 
     # ------------------------------------------------------------------
     def set_eval_dataset(self, dataset_name: str):
-        """Pick the dataset's vocabulary/prompt (deformable_detr.py:524-549)."""
+        """Pick the dataset's vocabulary/prompt (deformable_detr.py:524-549).
+
+        The reference maps an eval dataset to a registered dataset by
+        substring ("+"-joined names match any part); exact match wins.
+        """
+        match = -1
         for i, m in enumerate(self.metadata_list):
             if m.name == dataset_name:
-                self.eval_dataset_id = i
-                return
-        self.eval_dataset_id = -1
-        logger.warning(f"unknown eval dataset {dataset_name}")
+                match = i
+                break
+            if match < 0 and any(
+                part and part in dataset_name for part in m.name.split("+")
+            ):
+                match = i
+        self.eval_dataset_id = match
+        if match < 0:
+            logger.warning(f"unknown eval dataset {dataset_name}")
+        self._apply_dataset_protocol()
+
+    def _apply_dataset_protocol(self):
+        """Per-dataset eval knobs (deformable_detr.py:195-196): box budget."""
+        i = self.eval_dataset_id
+        if self.select_box_nums_list is not None and 0 <= i < len(self.select_box_nums_list):
+            self.select_box_nums = int(self.select_box_nums_list[i])
+        else:
+            self.select_box_nums = self.select_box_nums_default
+
+    def _fusion_mode(self, prompt_type: str) -> str:
+        """Which features the VL-fusion layers see (segm_vl.py:342-360)."""
+        if prompt_type != "name":
+            return "text"
+        i = self.eval_dataset_id
+        if (
+            self.name_prompt_fusion_text is not None
+            and 0 <= i < len(self.name_prompt_fusion_text)
+            and self.name_prompt_fusion_text[i]
+        ):
+            return "text"
+        if self.name_prompt_fusion_type in ("zero", "learnable"):
+            return self.name_prompt_fusion_type
+        return "none"
 
     def _encode_vocab(self, text_list: List[str]) -> np.ndarray:
         key = tuple(text_list)
@@ -195,9 +256,10 @@ class APE:
             txt, tvalid = self._text_features(text_list)
             images = jnp.asarray(inp["image"][None])
             sizes = jnp.asarray(inp["image_size"][None])
+            ptype = self._prompt_type(inp)
             out = self._forward(
                 self.params, images, sizes, txt, tvalid,
-                self._prompt_type(inp) != "name",
+                ptype != "name", self._fusion_mode(ptype),
             )
 
             res: Dict = {"image_id": inp.get("image_id", 0)}
@@ -215,7 +277,8 @@ class APE:
                             jnp.arange(inst_valid.shape[0]) < n_thing
                         )
                 inst = self._post_instance(
-                    out["pred_logits"][0], out["pred_boxes"][0], sizes[0], inst_valid
+                    out["pred_logits"][0], out["pred_boxes"][0], sizes[0], inst_valid,
+                    self.select_box_nums,
                 )
                 inst = {k: np.asarray(v) for k, v in inst.items()}
                 keep = inst["valid"]

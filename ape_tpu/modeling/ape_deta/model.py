@@ -131,6 +131,7 @@ class APEDeta(nn.Module):
         mask_prompt: Optional[jnp.ndarray] = None,  # (B, H, W) bool
         deterministic: bool = True,
         align_on_fused: bool = True,
+        fusion_text_mode: str = "text",  # "text" | "zero" | "learnable"
     ) -> Dict[str, Any]:
         # align_on_fused: which text features the class-align heads see. The
         # reference keeps the ORIGINAL text for "name" prompts (fusion only
@@ -138,6 +139,15 @@ class APEDeta(nn.Module):
         # `features_l = 1.0 * features_l + 0.0 * features_l_fusion`) and the
         # FUSED text for phrase/expression prompts (:447). Callers pass
         # align_on_fused=False for name prompts when vl_fusion is on.
+        #
+        # fusion_text_mode: which features the encoder's VL-FUSION layers see
+        # (orthogonal to the align side). Reference semantics for "name"
+        # prompts (segm_vl.py:342-360): datasets flagged in
+        # name_prompt_fusion_text fuse against the real text ("text"); others
+        # fuse against the model's name_prompt_fusion_feature — a frozen zero
+        # token ("zero", name_prompt_fusion_type="zero", segm_vl.py:160-163)
+        # or a trained token ("learnable", :155-158). Phrase/expression
+        # prompts always use "text".
         num_layers = self.transformer.decoder.num_layers
 
         if self.num_learned_classes:
@@ -187,12 +197,32 @@ class APEDeta(nn.Module):
             dtype=self.dtype,
             name="enc_class_head_linear",
         )
+        if fusion_text_mode == "text":
+            fusion_text, fusion_valid = text_features, text_valid
+        elif fusion_text_mode == "none":
+            # reference name_prompt_fusion_type="none": features_l_fusion is
+            # None and the encoder skips its VL-fusion layers entirely
+            fusion_text, fusion_valid = None, None
+        else:
+            bsz = images.shape[0]
+            if fusion_text_mode == "learnable":
+                tok = self.param(
+                    "name_prompt_fusion_feature",
+                    nn.initializers.normal(1.0),
+                    (1, 1, self.embed_dim_language),
+                )
+            else:  # "zero"
+                tok = jnp.zeros((1, 1, self.embed_dim_language))
+            fusion_text = jnp.broadcast_to(
+                tok, (bsz, 1, self.embed_dim_language)
+            ).astype(self.dtype)
+            fusion_valid = jnp.ones((bsz, 1), bool)
         tr_out = self.transformer(
             multi_level_feats,
             multi_level_masks,
             multi_level_pos,
-            text=text_features,
-            text_valid=text_valid,
+            text=fusion_text,
+            text_valid=fusion_valid,
             mask_prompt=mask_prompt_flat,
             enc_class_head=enc_head_linear,
         )
@@ -200,7 +230,7 @@ class APEDeta(nn.Module):
         inter_states = tr_out["inter_states"]  # (layers, B, K, C)
         output_coords = tr_out["output_coords"]  # (layers, B, K, 4)
         fused_text = tr_out["text"] if tr_out["text"] is not None else text_features
-        if not align_on_fused:
+        if not align_on_fused or fusion_text_mode != "text":
             fused_text = text_features
 
         # ---- mask pixel decoder (MaskDINO style) ----

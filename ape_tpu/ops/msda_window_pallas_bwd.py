@@ -58,7 +58,9 @@ BWD_MERGED = os.environ.get("APE_MSDA_BWD_MERGED", "1") != "0"
 # APE_MSDA_VP — one unshifted bf16 vp slab DMA per tile + in-VMEM shifted
 # plane builds, replacing the n_planes pre-shifted copies (XLA prep pass) and
 # per-plane slab DMAs. The d_value side already lives in vp space.
-BWD_VP = os.environ.get("APE_MSDA_BWD_VP", "0") != "0"
+# Round-4 chip A/B: vp backward neutral on the encoder race (85.9 -> 85.2
+# ms/layer) and +13% on the full train step with the forward flip; default ON.
+BWD_VP = os.environ.get("APE_MSDA_BWD_VP", "1") != "0"
 # The merged kernel holds bf16 value slabs + f32 d-slabs + the f32 fold
 # accumulator at once, so it gets its own (larger) budget and tile caps.
 VMEM_BUDGET_BWD = int(os.environ.get("APE_MSDA_BWD_VMEM_MB", "48")) * 1024 * 1024

@@ -107,7 +107,10 @@ YEXP = os.environ.get("APE_MSDA_YEXP", "0") != "0"
 # plane per tile — the same amortized-relayout idiom the merged backward uses
 # for its d-slab fold (msda_window_pallas_bwd._grad_kernel_merged). Trades
 # n_planes x slab DMA + the XLA prep pass for n_planes VPU copies per tile.
-VPIN = os.environ.get("APE_MSDA_VP", "0") != "0"
+# Round-4 chip A/B (experiments/chip_ab_r3.sh, PERF.md round-4): vp ON wins
+# bench 8.20 -> 9.52 img/s, OFF_SCALE=2 suite 25.6 -> 22.3 ms/layer, train
+# 1.675 -> 1.887 img/s; backward neutral. Default flipped to 1.
+VPIN = os.environ.get("APE_MSDA_VP", "1") != "0"
 
 
 class _PairGeom:

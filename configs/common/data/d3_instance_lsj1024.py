@@ -20,3 +20,7 @@ dataloader = dict(
         for n in _names
     ],
 )
+
+# Per-dataset eval protocol (reference D3_InstanceSegmentation configs set
+# model.model_vision.select_box_nums_for_evaluation_list = [300]).
+dataloader["select_box_nums_for_evaluation_list"] = [300] * len(dataloader["tests"])

@@ -7,7 +7,22 @@ from ape_tpu.data.mapper import DatasetMapperDETR
 
 image_size = 1536
 
-from ape_tpu.data.datasets.builtin import ODINW_13_TEST as _names
+# the reference's exact test-dataset order (protocol tables align by index)
+_names = [
+    'odinw_AerialMaritimeDrone_large_test',
+    'odinw_Aquarium_Aquarium_Combined.v2-raw-1024.coco_test',
+    'odinw_CottontailRabbits_test',
+    'odinw_EgoHands_generic_test',
+    'odinw_NorthAmericaMushrooms_North_American_Mushrooms.v1-416x416.coco_test',
+    'odinw_Packages_Raw_test',
+    'odinw_PascalVOC_val',
+    'odinw_pistols_export_test',
+    'odinw_pothole_test',
+    'odinw_Raccoon_Raccoon.v2-raw.coco_test',
+    'odinw_ShellfishOpenImages_raw_test',
+    'odinw_thermalDogsAndPeople_test',
+    'odinw_VehiclesOpenImages_416x416_test',
+]
 
 dataloader = dict(
     train=dict(dataset_names=[], mapper=None, batch_size=1),
@@ -20,3 +35,9 @@ dataloader = dict(
         for n in _names
     ],
 )
+
+# Per-dataset eval protocol (reference odinw13_instance_lsj1536.py: dataloader.name_prompt_fusion_text
+# / select_box_nums_for_evaluation_list), consumed by the eval wrapper at
+# set_eval_dataset time (deformable_detr.py:195-196, segm_vl.py:342-360).
+dataloader["name_prompt_fusion_text"] = [True, True, False, False, True, True, False, False, True, True, False, True, False]
+dataloader["select_box_nums_for_evaluation_list"] = [300, 300, 300, 300, 300, 300, 300, 300, 300, 300, 300, 300, 300]

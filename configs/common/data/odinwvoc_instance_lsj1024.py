@@ -7,7 +7,10 @@ from ape_tpu.data.mapper import DatasetMapperDETR
 
 image_size = 1024
 
-_names = ["odinw_PascalVOC_val"]
+# the reference's exact test-dataset order (protocol tables align by index)
+_names = [
+    'odinw_PascalVOC_val',
+]
 
 dataloader = dict(
     train=dict(dataset_names=[], mapper=None, batch_size=1),
@@ -20,3 +23,9 @@ dataloader = dict(
         for n in _names
     ],
 )
+
+# Per-dataset eval protocol (reference odinwvoc_instance_lsj1024.py: dataloader.name_prompt_fusion_text
+# / select_box_nums_for_evaluation_list), consumed by the eval wrapper at
+# set_eval_dataset time (deformable_detr.py:195-196, segm_vl.py:342-360).
+dataloader["name_prompt_fusion_text"] = [False]
+dataloader["select_box_nums_for_evaluation_list"] = [300]

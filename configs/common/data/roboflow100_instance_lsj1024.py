@@ -22,3 +22,9 @@ dataloader = dict(
         for n in _names
     ],
 )
+
+# Per-dataset eval protocol (reference roboflow100_instance_lsj1024.py: dataloader.name_prompt_fusion_text
+# / select_box_nums_for_evaluation_list), consumed by the eval wrapper at
+# set_eval_dataset time (deformable_detr.py:195-196, segm_vl.py:342-360).
+dataloader["name_prompt_fusion_text"] = [True] * len(_names)
+dataloader["select_box_nums_for_evaluation_list"] = [300] * len(_names)

@@ -305,10 +305,29 @@ def run_eval(cfg, model, params):
 
     num_text = int(cfg.train.get("num_text", 80))
     lang = build_language(cfg)
-    prompts = [t.get("prompt", "name") for t in tests if t["dataset_name"] in names]
+    keep = [t for t in tests if t["dataset_name"] in names]
+    prompts = [t.get("prompt", "name") for t in keep]
+    # per-dataset eval protocol (reference dataloader.select_box_nums_for_
+    # evaluation_list / name_prompt_fusion_text, consumed at set_eval_dataset
+    # time — deformable_detr.py:195-196, segm_vl.py:342-360). The suite data
+    # configs carry per-test tables; aligned here with the kept test order.
+    box_list = cfg.dataloader.get("select_box_nums_for_evaluation_list", None)
+    fusion_list = cfg.dataloader.get("name_prompt_fusion_text", None)
+    if box_list is not None:
+        box_list = [int(v) for t, v in zip(tests, box_list) if t["dataset_name"] in names]
+    if fusion_list is not None:
+        fusion_list = [
+            bool(v) for t, v in zip(tests, fusion_list) if t["dataset_name"] in names
+        ]
     ape = APE(
         model, params, lang, dataset_names=names, dataset_prompts=prompts,
         max_text=num_text,
+        select_box_nums_for_evaluation=int(
+            cfg.train.get("select_box_nums_for_evaluation", 300)
+        ),
+        select_box_nums_for_evaluation_list=box_list,
+        name_prompt_fusion_text=fusion_list,
+        name_prompt_fusion_type=cfg.train.get("name_prompt_fusion_type", "zero"),
     )
 
     results = {}
