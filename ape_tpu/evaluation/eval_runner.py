@@ -149,21 +149,35 @@ def _eval_sem_seg(ape, dataset_name, mapper, rank, world_size):
 
 
 def _eval_refcoco(ape, dataset_name, mapper, rank, world_size):
-    """P@0.5-0.9 of the top-1 box per referring expression
-    (reference refcoco_evaluation.py:31-753)."""
+    """P@0.5-0.9 of the top-1 box per referring expression, plus segm
+    oIoU/mIoU of the top-1 mask when GT masks exist and the model emits them
+    (reference refcoco_evaluation.py:31-753, segm derivation :391-413)."""
     from ape_tpu.data.build import build_detection_test_loader
+    from ape_tpu.data.transforms import polygons_to_mask, rle_decode
     from ape_tpu.evaluation.other_evals import RefCOCOEvaluator
+
+    def gt_mask_of(ann, h, w):
+        seg = ann.get("segmentation")
+        if seg is None or not h or not w:
+            return None
+        if isinstance(seg, dict):
+            return rle_decode(seg, h, w)
+        if isinstance(seg, list) and seg:
+            return polygons_to_mask(seg, h, w)
+        return np.asarray(seg, bool) if np.ndim(seg) == 2 else None
 
     ev = RefCOCOEvaluator()
     loader = build_detection_test_loader(dataset_name, mapper, rank, world_size)
     for ex in loader():
         dd = ex.get("dataset_dict", {})
+        h, w = ex.get("height", 0), ex.get("width", 0)
         for ann in dd.get("annotations", []):
             exprs = ann.get("expressions") or ([] if "expression" not in ann else [ann["expression"]])
             if not exprs:
                 continue
             x, y, bw, bh = ann["bbox"]
             gt = np.asarray([x, y, x + bw, y + bh], np.float32)
+            gmask = gt_mask_of(ann, h, w)
             for expr in exprs:
                 ex2 = dict(ex)
                 ex2["text_prompt"] = expr
@@ -173,8 +187,19 @@ def _eval_refcoco(ape, dataset_name, mapper, rank, world_size):
                 scores = np.asarray(inst.get("scores", np.zeros((0,))))
                 if len(boxes) == 0:
                     ev._total += 1
+                    if gmask is not None:
+                        ev.process_mask(None, gmask)
                     continue
-                ev.process(boxes[int(scores.argmax())], gt)
+                top = int(scores.argmax())
+                pmask = None
+                if gmask is not None and "mask_logits" in inst:
+                    pmask = paste_masks(
+                        np.asarray(inst["mask_logits"])[top : top + 1],
+                        boxes[top : top + 1],
+                        h,
+                        w,
+                    )[0]
+                ev.process(boxes[top], gt, pmask, gmask)
     return ev.evaluate()
 
 

@@ -57,29 +57,61 @@ class SemSegEvaluator:
 
 
 class RefCOCOEvaluator:
-    """Top-1 box precision at IoU thresholds for referring expressions."""
+    """Top-1 box precision at IoU thresholds for referring expressions; when
+    masks are supplied, also segm oIoU/mIoU (reference
+    refcoco_evaluation.py:391-413: oIoU = total intersection / total union
+    over all expressions, mIoU = mean per-expression mask IoU — a missed
+    expression contributes its GT area to the union and IoU 0)."""
 
     THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
 
     def __init__(self):
         self._hits = {t: 0 for t in self.THRESHOLDS}
         self._total = 0
+        self._mask_inter = 0.0
+        self._mask_union = 0.0
+        self._mask_ious: List[float] = []
 
     def reset(self):
         self.__init__()
 
-    def process(self, pred_box: np.ndarray, gt_box: np.ndarray):
-        """Both xyxy; pred_box is the highest-scoring box for the expression."""
+    def process(
+        self,
+        pred_box: np.ndarray,
+        gt_box: np.ndarray,
+        pred_mask: Optional[np.ndarray] = None,
+        gt_mask: Optional[np.ndarray] = None,
+    ):
+        """Boxes xyxy; pred_* are from the highest-scoring instance for the
+        expression. Masks (H, W) bool, same resolution."""
         from ape_tpu.evaluation.coco_eval import box_iou_xyxy
 
         iou = float(box_iou_xyxy(pred_box[None], gt_box[None])[0, 0])
         self._total += 1
         for t in self.THRESHOLDS:
             self._hits[t] += iou > t
+        if gt_mask is not None:
+            self.process_mask(pred_mask, gt_mask)
+
+    def process_mask(self, pred_mask: Optional[np.ndarray], gt_mask: np.ndarray):
+        g = np.asarray(gt_mask, bool)
+        if pred_mask is None:
+            inter, union = 0.0, float(g.sum())
+        else:
+            p = np.asarray(pred_mask, bool)
+            inter = float(np.logical_and(p, g).sum())
+            union = float(np.logical_or(p, g).sum())
+        self._mask_inter += inter
+        self._mask_union += union
+        self._mask_ious.append(inter / max(union, 1.0))
 
     def evaluate(self) -> Dict[str, float]:
         n = max(self._total, 1)
-        return {f"refcoco/P@{t}": 100.0 * self._hits[t] / n for t in self.THRESHOLDS}
+        out = {f"refcoco/P@{t}": 100.0 * self._hits[t] / n for t in self.THRESHOLDS}
+        if self._mask_ious:
+            out["refcoco/oIoU"] = 100.0 * self._mask_inter / max(self._mask_union, 1.0)
+            out["refcoco/mIoU"] = 100.0 * float(np.mean(self._mask_ious))
+        return out
 
 
 class PanopticEvaluator:

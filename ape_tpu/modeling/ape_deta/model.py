@@ -119,6 +119,11 @@ class APEDeta(nn.Module):
     # a LEARNED class-embedding bank replaces the text-encoder features, so the
     # same VisionLanguageAlign head becomes a fixed N-way classifier.
     num_learned_classes: int = 0
+    # recorded class budget from the reference recipe (model_vision.num_classes
+    # sizes the reference's classification head; here the open-vocab align head
+    # is prompt-sized, so the value is carried as metadata — it feeds the
+    # text-tile padding choice and the config-fidelity audit, not a weight shape)
+    num_classes: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact

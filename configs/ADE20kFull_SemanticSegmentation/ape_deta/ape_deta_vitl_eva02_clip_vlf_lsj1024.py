@@ -53,3 +53,7 @@ train = dict(
     num_text=864,
     text_dim=1024,
 )
+
+# ---- recipe facts extracted from the reference config
+# (configs/ref_facts.json via tools/ref_config_facts.py — values only) ----
+train["name_prompt_fusion_type"] = "zero"

@@ -29,7 +29,7 @@ optimizer = dict(
     vit_num_layers=0,
     layer_decay=1.0,
     backbone_lr_mult=0.1,
-    milestones=[135000],
+    milestones=[135000, 150000],
     warmup_steps=2000,
 )
 
@@ -38,7 +38,7 @@ train = dict(
     max_iter=160000,
     checkpoint_period=5000,
     log_period=20,
-    eval_period=20000,
+    eval_period=5000,
     iter_size=1,
     ema_decay=0.0,
     init_checkpoint="",
@@ -48,3 +48,9 @@ train = dict(
     num_text=160,
     text_dim=1024,
 )
+
+# ---- recipe facts extracted from the reference config
+# (configs/ref_facts.json via tools/ref_config_facts.py — values only) ----
+train["instance_on"] = True
+train["semantic_on"] = True
+train["panoptic_on"] = True

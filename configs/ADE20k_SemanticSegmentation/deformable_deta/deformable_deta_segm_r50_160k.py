@@ -25,7 +25,7 @@ optimizer = dict(
     vit_num_layers=0,
     layer_decay=1.0,
     backbone_lr_mult=0.1,
-    milestones=[135000],
+    milestones=[135000, 150000],
     warmup_steps=2000,
 )
 
@@ -34,7 +34,7 @@ train = dict(
     max_iter=160000,
     checkpoint_period=5000,
     log_period=20,
-    eval_period=20000,
+    eval_period=5000,
     iter_size=1,
     ema_decay=0.0,
     init_checkpoint="",

@@ -39,7 +39,7 @@ train = dict(
     max_iter=90000,
     checkpoint_period=5000,
     log_period=20,
-    eval_period=20000,
+    eval_period=5000,
     iter_size=1,
     ema_decay=0.0,
     init_checkpoint="",
@@ -49,3 +49,10 @@ train = dict(
     num_text=64,
     text_dim=1024,
 )
+
+# ---- recipe facts extracted from the reference config
+# (configs/ref_facts.json via tools/ref_config_facts.py — values only) ----
+train["instance_on"] = True
+train["semantic_on"] = True
+train["panoptic_on"] = True
+train["select_box_nums_for_evaluation"] = 300

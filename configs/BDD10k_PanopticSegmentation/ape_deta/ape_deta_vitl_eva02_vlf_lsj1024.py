@@ -53,3 +53,11 @@ train = dict(
     num_text=64,
     text_dim=1024,
 )
+
+# ---- recipe facts extracted from the reference config
+# (configs/ref_facts.json via tools/ref_config_facts.py — values only) ----
+train["instance_on"] = True
+train["semantic_on"] = True
+train["panoptic_on"] = True
+train["select_box_nums_for_evaluation"] = 300
+train["name_prompt_fusion_type"] = "zero"

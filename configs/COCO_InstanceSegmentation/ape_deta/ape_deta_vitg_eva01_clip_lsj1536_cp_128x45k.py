@@ -30,16 +30,16 @@ optimizer = dict(
     grad_clip=0.1,
     vit_num_layers=40,
     layer_decay=0.8,
-    milestones=[75000, 90000],
+    milestones=[37500, 45000],
     warmup_steps=2000,
 )
 
 train = dict(
     output_dir="./output/ape_deta_vitg_eva01_clip_lsj1536_cp_128x45k",
-    max_iter=90000,
+    max_iter=45000,
     checkpoint_period=5000,
     log_period=20,
-    eval_period=20000,
+    eval_period=5000,
     iter_size=4,
     ema_decay=0.0,
     init_checkpoint="",

@@ -43,7 +43,7 @@ train = dict(
     max_iter=90000,
     checkpoint_period=5000,
     log_period=20,
-    eval_period=20000,
+    eval_period=5000,
     iter_size=1,
     ema_decay=0.0,
     init_checkpoint="",
@@ -53,3 +53,7 @@ train = dict(
     num_text=96,
     text_dim=1024,
 )
+
+# ---- recipe facts extracted from the reference config
+# (configs/ref_facts.json via tools/ref_config_facts.py — values only) ----
+train["name_prompt_fusion_type"] = "zero"

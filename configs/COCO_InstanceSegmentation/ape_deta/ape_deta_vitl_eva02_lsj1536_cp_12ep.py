@@ -39,7 +39,7 @@ train = dict(
     max_iter=90000,
     checkpoint_period=5000,
     log_period=20,
-    eval_period=20000,
+    eval_period=5000,
     iter_size=1,
     ema_decay=0.0,
     init_checkpoint="",

@@ -77,3 +77,22 @@ train = dict(
     text_dim=768,
     dataset_ratio=[1.0, 0.1],
 )
+
+# ---- recipe facts extracted from the reference config
+# (configs/ref_facts.json via tools/ref_config_facts.py — values only) ----
+model.num_classes = 80
+train["select_box_nums_for_evaluation"] = 300
+_ref_crit_nc = [80, 1]
+while len(criterions) < len(_ref_crit_nc):
+    _extra = criterions[0].clone()
+    _extra.use_fed_loss = False
+    _extra.fed_loss_cls_weights = None
+    criterions.append(_extra)
+_FED_LEN = {"lvis_v1_train": 1203, "openimages_v6": 601}
+for _c, _nc in zip(criterions, _ref_crit_nc):
+    if _c.get('use_fed_loss', False) and _nc < _FED_LEN.get(
+        _c.fed_loss_cls_weights.dataset, 0
+    ):
+        _c.use_fed_loss = False
+        _c.fed_loss_cls_weights = None
+    _c.num_classes = _nc

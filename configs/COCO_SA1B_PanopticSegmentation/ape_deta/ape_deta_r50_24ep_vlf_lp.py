@@ -75,3 +75,24 @@ train = dict(
     text_dim=1024,
     dataset_ratio=[1.0, 1.0],
 )
+
+# ---- recipe facts extracted from the reference config
+# (configs/ref_facts.json via tools/ref_config_facts.py — values only) ----
+model.num_classes = 133
+train["instance_on"] = True
+train["semantic_on"] = True
+train["panoptic_on"] = True
+_ref_crit_nc = [133, 1]
+while len(criterions) < len(_ref_crit_nc):
+    _extra = criterions[0].clone()
+    _extra.use_fed_loss = False
+    _extra.fed_loss_cls_weights = None
+    criterions.append(_extra)
+_FED_LEN = {"lvis_v1_train": 1203, "openimages_v6": 601}
+for _c, _nc in zip(criterions, _ref_crit_nc):
+    if _c.get('use_fed_loss', False) and _nc < _FED_LEN.get(
+        _c.fed_loss_cls_weights.dataset, 0
+    ):
+        _c.use_fed_loss = False
+        _c.fed_loss_cls_weights = None
+    _c.num_classes = _nc

@@ -38,7 +38,7 @@ train = dict(
     max_iter=90000,
     checkpoint_period=5000,
     log_period=20,
-    eval_period=20000,
+    eval_period=5000,
     iter_size=1,
     ema_decay=0.0,
     init_checkpoint="",
@@ -48,3 +48,9 @@ train = dict(
     num_text=64,
     text_dim=1024,
 )
+
+# ---- recipe facts extracted from the reference config
+# (configs/ref_facts.json via tools/ref_config_facts.py — values only) ----
+train["instance_on"] = False
+train["semantic_on"] = True
+train["panoptic_on"] = False

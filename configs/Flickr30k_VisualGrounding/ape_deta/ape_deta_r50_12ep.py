@@ -38,7 +38,7 @@ train = dict(
     max_iter=90000,
     checkpoint_period=5000,
     log_period=20,
-    eval_period=20000,
+    eval_period=5000,
     iter_size=1,
     ema_decay=0.0,
     init_checkpoint="",
@@ -48,3 +48,13 @@ train = dict(
     num_text=256,
     text_dim=1024,
 )
+
+# ---- recipe facts extracted from the reference config
+# (configs/ref_facts.json via tools/ref_config_facts.py — values only) ----
+model.num_classes = 200
+if criterion.get('use_fed_loss', False) and 200 < {"lvis_v1_train": 1203, "openimages_v6": 601}.get(
+    criterion.fed_loss_cls_weights.dataset, 0
+):
+    criterion.use_fed_loss = False
+    criterion.fed_loss_cls_weights = None
+criterion.num_classes = 200

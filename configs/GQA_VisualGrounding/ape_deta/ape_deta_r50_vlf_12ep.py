@@ -75,3 +75,13 @@ train = dict(
     text_dim=1024,
     dataset_ratio=[0.1, 1.0],
 )
+
+# ---- recipe facts extracted from the reference config
+# (configs/ref_facts.json via tools/ref_config_facts.py — values only) ----
+model.num_classes = 200
+if criterion.get('use_fed_loss', False) and 200 < {"lvis_v1_train": 1203, "openimages_v6": 601}.get(
+    criterion.fed_loss_cls_weights.dataset, 0
+):
+    criterion.use_fed_loss = False
+    criterion.fed_loss_cls_weights = None
+criterion.num_classes = 200

@@ -33,7 +33,7 @@ optimizer = dict(
     vit_num_layers=0,
     layer_decay=1.0,
     backbone_lr_mult=0.1,
-    milestones=[340000],
+    milestones=[333000],
     warmup_steps=2000,
 )
 
@@ -52,3 +52,19 @@ train = dict(
     num_text=256,
     text_dim=1024,
 )
+
+# ---- recipe facts extracted from the reference config
+# (configs/ref_facts.json via tools/ref_config_facts.py — values only) ----
+model.num_classes = 200
+train["name_prompt_fusion_type"] = "zero"
+_ref_crit_nc = [200, 200]
+criterions = [criterion.clone() for _ in _ref_crit_nc]
+_FED_LEN = {"lvis_v1_train": 1203, "openimages_v6": 601}
+for _c, _nc in zip(criterions, _ref_crit_nc):
+    if _c.get('use_fed_loss', False) and _nc < _FED_LEN.get(
+        _c.fed_loss_cls_weights.dataset, 0
+    ):
+        _c.use_fed_loss = False
+        _c.fed_loss_cls_weights = None
+    _c.num_classes = _nc
+criterion = criterions[0]

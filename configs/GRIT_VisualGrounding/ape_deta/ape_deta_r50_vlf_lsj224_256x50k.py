@@ -39,10 +39,10 @@ optimizer = dict(
 
 train = dict(
     output_dir="./output/ape_deta_r50_vlf_lsj224_256x50k",
-    max_iter=90000,
+    max_iter=10000,
     checkpoint_period=5000,
     log_period=20,
-    eval_period=20000,
+    eval_period=1000,
     iter_size=5,
     ema_decay=0.0,
     init_checkpoint="",
@@ -52,3 +52,7 @@ train = dict(
     num_text=256,
     text_dim=1024,
 )
+
+# ---- recipe facts extracted from the reference config
+# (configs/ref_facts.json via tools/ref_config_facts.py — values only) ----
+train["name_prompt_fusion_type"] = "zero"

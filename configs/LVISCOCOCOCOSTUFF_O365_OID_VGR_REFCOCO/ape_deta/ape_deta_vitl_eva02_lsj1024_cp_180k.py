@@ -64,7 +64,7 @@ train = dict(
     max_iter=180000,
     checkpoint_period=5000,
     log_period=20,
-    eval_period=20000,
+    eval_period=180000,
     iter_size=1,
     ema_decay=0.0,
     init_checkpoint="",
@@ -75,3 +75,25 @@ train = dict(
     text_dim=1024,
     dataset_ratio=[1.0, 1.0, 1.0, 1.0, 0.1],
 )
+
+# ---- recipe facts extracted from the reference config
+# (configs/ref_facts.json via tools/ref_config_facts.py — values only) ----
+model.num_classes = 1256
+train["instance_on"] = True
+train["semantic_on"] = True
+train["panoptic_on"] = False
+train["select_box_nums_for_evaluation"] = 300
+_ref_crit_nc = [1256, 365, 601, 200, 200, 200]
+while len(criterions) < len(_ref_crit_nc):
+    _extra = criterions[0].clone()
+    _extra.use_fed_loss = False
+    _extra.fed_loss_cls_weights = None
+    criterions.append(_extra)
+_FED_LEN = {"lvis_v1_train": 1203, "openimages_v6": 601}
+for _c, _nc in zip(criterions, _ref_crit_nc):
+    if _c.get('use_fed_loss', False) and _nc < _FED_LEN.get(
+        _c.fed_loss_cls_weights.dataset, 0
+    ):
+        _c.use_fed_loss = False
+        _c.fed_loss_cls_weights = None
+    _c.num_classes = _nc

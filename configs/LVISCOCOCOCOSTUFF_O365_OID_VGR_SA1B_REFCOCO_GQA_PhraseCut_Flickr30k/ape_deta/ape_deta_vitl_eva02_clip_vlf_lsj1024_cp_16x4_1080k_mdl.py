@@ -76,7 +76,7 @@ train = dict(
     max_iter=1080000,
     checkpoint_period=5000,
     log_period=20,
-    eval_period=20000,
+    eval_period=1080000,
     iter_size=4,
     ema_decay=0.0,
     init_checkpoint="",
@@ -122,3 +122,10 @@ dataloader = dict(
     ),
     tests=[],
 )
+
+# recorded class budget + task routing flags (reference config sets
+# model_vision.num_classes=1256, instance_on/semantic_on True, panoptic_on False)
+model.num_classes = 1256
+train["instance_on"] = True
+train["semantic_on"] = True
+train["panoptic_on"] = False

@@ -36,3 +36,10 @@ language = dict(
 train = _cfg.train
 train["output_dir"] = "./output/ape_deta_vitl_mdl_llama2"
 train["text_dim"] = 4096
+
+# recorded class budget + task routing flags (reference config sets
+# model_vision.num_classes=1256, instance_on/semantic_on True, panoptic_on False)
+model.num_classes = 1256
+train["instance_on"] = True
+train["semantic_on"] = True
+train["panoptic_on"] = False

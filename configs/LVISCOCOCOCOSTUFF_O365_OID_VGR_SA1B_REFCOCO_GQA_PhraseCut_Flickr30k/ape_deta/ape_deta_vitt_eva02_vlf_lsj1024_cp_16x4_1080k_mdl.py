@@ -29,3 +29,10 @@ optimizer["vit_num_layers"] = 12
 
 train = _cfg.train
 train["output_dir"] = "./output/ape_deta_vitt_mdl"
+
+# recorded class budget + task routing flags (reference config sets
+# model_vision.num_classes=1256, instance_on/semantic_on True, panoptic_on False)
+model.num_classes = 1256
+train["instance_on"] = True
+train["semantic_on"] = True
+train["panoptic_on"] = False

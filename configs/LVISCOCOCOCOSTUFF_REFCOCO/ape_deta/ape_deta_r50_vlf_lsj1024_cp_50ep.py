@@ -75,3 +75,7 @@ train = dict(
     text_dim=1024,
     dataset_ratio=[1.0, 0.1],
 )
+
+# ---- recipe facts extracted from the reference config
+# (configs/ref_facts.json via tools/ref_config_facts.py — values only) ----
+train["name_prompt_fusion_type"] = "zero"

@@ -77,3 +77,7 @@ train = dict(
     text_dim=768,
     dataset_ratio=[1.0, 0.1],
 )
+
+# ---- recipe facts extracted from the reference config
+# (configs/ref_facts.json via tools/ref_config_facts.py — values only) ----
+train["name_prompt_fusion_type"] = "none"

@@ -52,3 +52,22 @@ train = dict(
     num_text=1280,
     text_dim=1024,
 )
+
+# ---- recipe facts extracted from the reference config
+# (configs/ref_facts.json via tools/ref_config_facts.py — values only) ----
+model.num_classes = 1203
+train["instance_on"] = True
+train["semantic_on"] = True
+train["panoptic_on"] = False
+train["select_box_nums_for_evaluation"] = 300
+_ref_crit_nc = [1203, 54]
+criterions = [criterion.clone() for _ in _ref_crit_nc]
+_FED_LEN = {"lvis_v1_train": 1203, "openimages_v6": 601}
+for _c, _nc in zip(criterions, _ref_crit_nc):
+    if _c.get('use_fed_loss', False) and _nc < _FED_LEN.get(
+        _c.fed_loss_cls_weights.dataset, 0
+    ):
+        _c.use_fed_loss = False
+        _c.fed_loss_cls_weights = None
+    _c.num_classes = _nc
+criterion = criterions[0]

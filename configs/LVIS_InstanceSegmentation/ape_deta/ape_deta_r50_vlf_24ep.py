@@ -55,3 +55,15 @@ train = dict(
     num_text=1216,
     text_dim=1024,
 )
+
+# ---- recipe facts extracted from the reference config
+# (configs/ref_facts.json via tools/ref_config_facts.py — values only) ----
+model.num_classes = 1203
+train["select_box_nums_for_evaluation"] = 300
+train["name_prompt_fusion_type"] = "zero"
+if criterion.get('use_fed_loss', False) and 1203 < {"lvis_v1_train": 1203, "openimages_v6": 601}.get(
+    criterion.fed_loss_cls_weights.dataset, 0
+):
+    criterion.use_fed_loss = False
+    criterion.fed_loss_cls_weights = None
+criterion.num_classes = 1203

@@ -53,3 +53,18 @@ train = dict(
     num_text=64,
     text_dim=1024,
 )
+
+# ---- recipe facts extracted from the reference config
+# (configs/ref_facts.json via tools/ref_config_facts.py — values only) ----
+model.num_classes = 59
+train["instance_on"] = False
+train["semantic_on"] = True
+train["panoptic_on"] = False
+train["select_box_nums_for_evaluation"] = 300
+train["name_prompt_fusion_type"] = "zero"
+if criterion.get('use_fed_loss', False) and 59 < {"lvis_v1_train": 1203, "openimages_v6": 601}.get(
+    criterion.fed_loss_cls_weights.dataset, 0
+):
+    criterion.use_fed_loss = False
+    criterion.fed_loss_cls_weights = None
+criterion.num_classes = 59

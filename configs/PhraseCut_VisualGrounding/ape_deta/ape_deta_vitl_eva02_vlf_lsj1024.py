@@ -34,16 +34,16 @@ optimizer = dict(
     grad_clip=0.1,
     vit_num_layers=24,
     layer_decay=0.8,
-    milestones=[75000, 90000],
+    milestones=[640000],
     warmup_steps=2000,
 )
 
 train = dict(
     output_dir="./output/ape_deta_vitl_eva02_vlf_lsj1024",
-    max_iter=90000,
+    max_iter=720000,
     checkpoint_period=5000,
     log_period=20,
-    eval_period=20000,
+    eval_period=720000,
     iter_size=1,
     ema_decay=0.0,
     init_checkpoint="",
@@ -53,3 +53,23 @@ train = dict(
     num_text=256,
     text_dim=1024,
 )
+
+# ---- recipe facts extracted from the reference config
+# (configs/ref_facts.json via tools/ref_config_facts.py — values only) ----
+model.num_classes = 256
+train["instance_on"] = True
+train["semantic_on"] = False
+train["panoptic_on"] = False
+train["select_box_nums_for_evaluation"] = 300
+train["name_prompt_fusion_type"] = "zero"
+_ref_crit_nc = [1000]
+criterions = [criterion.clone() for _ in _ref_crit_nc]
+_FED_LEN = {"lvis_v1_train": 1203, "openimages_v6": 601}
+for _c, _nc in zip(criterions, _ref_crit_nc):
+    if _c.get('use_fed_loss', False) and _nc < _FED_LEN.get(
+        _c.fed_loss_cls_weights.dataset, 0
+    ):
+        _c.use_fed_loss = False
+        _c.fed_loss_cls_weights = None
+    _c.num_classes = _nc
+criterion = criterions[0]

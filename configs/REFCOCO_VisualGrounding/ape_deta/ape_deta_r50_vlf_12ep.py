@@ -52,3 +52,8 @@ train = dict(
     num_text=256,
     text_dim=1024,
 )
+
+# ---- recipe facts extracted from the reference config
+# (configs/ref_facts.json via tools/ref_config_facts.py — values only) ----
+model.num_classes = 256
+train["select_box_nums_for_evaluation"] = 1

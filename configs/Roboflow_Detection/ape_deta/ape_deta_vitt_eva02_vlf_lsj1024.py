@@ -34,3 +34,23 @@ dataloader = dict(
         for n in _rf_names
     ],
 )
+
+# ---- reference recipe facts (Roboflow_Detection config: 720k-iter schedule,
+# 100 per-dataset criteria at num_classes=1000, class budget 1256, detection
+# only) ----
+train.max_iter = 720000
+train.eval_period = 720000
+train["instance_on"] = True
+train["semantic_on"] = False
+train["panoptic_on"] = False
+train["select_box_nums_for_evaluation"] = 300
+optimizer.milestones = [640000]
+model.num_classes = 1256
+# the reference deletes the inherited LVIS fed-loss arm before the 100-way
+# clone (ape_deta_vitl_eva02_clip_vlf_lsj1024.py:25-35)
+criterion.use_fed_loss = False
+criterion.fed_loss_cls_weights = None
+criterions = [criterion.clone() for _ in range(100)]
+for _c in criterions:
+    _c.num_classes = 1000
+criterion = criterions[0]

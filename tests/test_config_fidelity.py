@@ -1,0 +1,141 @@
+"""Generated-config fidelity vs the reference recipes (round-3 verdict #4).
+
+configs/ref_facts.json holds the recipe facts regex-extracted from every
+reference task config (tools/ref_config_facts.py: explicit literal
+assignments, resolved through each file's relative-import chain). This suite
+asserts the SAME-PATH repo config resolves to the same values — max_iter,
+milestones, eval_period, num_classes, per-criterion num_classes,
+select_box_nums_for_evaluation, name_prompt_fusion_type, task flags — so the
+~280 generator-composed configs can't silently drift from the reference
+recipes (the round-3 ODinW spot-check found exactly that).
+
+If /root/reference is present, a staleness check re-extracts the facts and
+diffs them against the checked-in JSON.
+"""
+
+import json
+import os
+import sys
+
+import pytest
+
+CFG_ROOT = os.path.join(os.path.dirname(__file__), "..", "configs")
+FACTS_PATH = os.path.join(CFG_ROOT, "ref_facts.json")
+with open(FACTS_PATH) as f:
+    FACTS = json.load(f)
+
+# documented deliberate deviations: relpath -> {fact: reason}
+DEVIATIONS = {}
+
+CASES = sorted(
+    rel for rel in FACTS if os.path.exists(os.path.join(CFG_ROOT, rel))
+)
+
+
+def _norm_milestones(ms, max_iter):
+    """Drop a trailing milestone == max_iter: detectron2's
+    MultiStepParamScheduler treats a final boundary at num_updates as a
+    no-op (training ends there), so [75000, 90000] @90k == [75000] @90k."""
+    ms = list(ms)
+    if ms and max_iter and ms[-1] == max_iter:
+        ms = ms[:-1]
+    return ms
+
+
+@pytest.mark.parametrize("rel", CASES, ids=lambda r: r)
+def test_recipe_matches_reference(rel):
+    from ape_tpu.config import LazyConfig
+
+    facts = dict(FACTS[rel])
+    for skip_fact in DEVIATIONS.get(rel, {}):
+        facts.pop(skip_fact, None)
+    cfg = LazyConfig.load(os.path.join(CFG_ROOT, rel))
+    errors = []
+
+    def check(fact, got):
+        want = facts[fact]
+        if got != want:
+            errors.append(f"{fact}: repo {got!r} != reference {want!r}")
+
+    if "max_iter" in facts:
+        check("max_iter", cfg.train["max_iter"])
+    if "eval_period" in facts:
+        check("eval_period", cfg.train["eval_period"])
+    if "milestones" in facts:
+        mi = facts.get("max_iter", cfg.train["max_iter"])
+        got = _norm_milestones(cfg.optimizer["milestones"], mi)
+        want = _norm_milestones(facts["milestones"], mi)
+        if got != want:
+            errors.append(f"milestones: repo {got!r} != reference {want!r}")
+        facts.pop("milestones")
+    if "num_classes" in facts:
+        # reference model_vision.num_classes sizes its class head; in this
+        # repo the open-vocab head is prompt-sized, so the value is carried
+        # as the recorded class budget (legacy closed-vocab consumes it as
+        # num_learned_classes)
+        got = cfg.model.get("num_classes", cfg.model.get("num_learned_classes"))
+        if got != facts["num_classes"]:
+            errors.append(
+                f"num_classes: repo {got!r} != reference {facts['num_classes']!r}"
+            )
+    if "select_box_nums_for_evaluation" in facts:
+        check(
+            "select_box_nums_for_evaluation",
+            cfg.train.get("select_box_nums_for_evaluation", 300),
+        )
+    if "name_prompt_fusion_type" in facts:
+        check(
+            "name_prompt_fusion_type",
+            cfg.train.get("name_prompt_fusion_type", "zero"),
+        )
+    for flag in ("instance_on", "semantic_on", "panoptic_on"):
+        if flag in facts:
+            got = cfg.train.get(flag, None)
+            if got is None:
+                errors.append(f"{flag}: repo config does not carry it")
+            elif bool(got) != facts[flag]:
+                errors.append(f"{flag}: repo {got!r} != reference {facts[flag]!r}")
+    if "criterion_num_classes" in facts:
+        want = facts["criterion_num_classes"]
+        crits = list(cfg.get("criterions", [])) or [cfg.criterion]
+        got = [int(c.num_classes) for c in crits]
+        if facts.get("criterion_num_classes_prefix"):
+            # reference file only pins criterion[0]
+            got = got[: len(want)]
+        else:
+            n = facts.get("num_criteria", len(want))
+            want = (want * n)[:n] if len(want) == 1 else list(want)[:n]
+        if got != want:
+            errors.append(
+                f"criterion num_classes: repo {got[:6]}(n={len(got)}) != "
+                f"reference {want[:6]}(n={len(want)})"
+            )
+    assert not errors, f"{rel}:\n  " + "\n  ".join(errors)
+
+
+def test_every_fact_path_has_repo_config():
+    missing = [rel for rel in FACTS if not os.path.exists(os.path.join(CFG_ROOT, rel))]
+    assert not missing, missing
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference/configs"), reason="reference tree absent"
+)
+def test_checked_in_facts_are_fresh():
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import ref_config_facts
+
+    memo = {}
+    ref = "/root/reference/configs"
+    fresh = {}
+    for dirpath, _dirs, files in os.walk(ref):
+        for fn in sorted(files):
+            if not fn.endswith(".py"):
+                continue
+            relp = os.path.relpath(os.path.join(dirpath, fn), ref)
+            if relp.startswith("common/"):
+                continue
+            got = ref_config_facts.resolve(os.path.join(dirpath, fn), ref, memo)
+            if got:
+                fresh[relp] = got
+    assert fresh == FACTS, "ref_facts.json is stale — rerun tools/ref_config_facts.py"

@@ -146,6 +146,30 @@ def test_refcoco_evaluator():
     res = ev.evaluate()
     assert res["refcoco/P@0.5"] == 50.0  # strict >
     assert res["refcoco/P@0.9"] == 50.0
+    assert "refcoco/oIoU" not in res  # no masks processed
+
+
+def test_refcoco_segm_oiou_miou():
+    """Hand-computed segm grounding metrics (reference
+    refcoco_evaluation.py:391-413 semantics)."""
+    ev = RefCOCOEvaluator()
+    box = np.asarray([0, 0, 10, 10.0])
+    # expr 1: perfect 4x4 mask -> inter 16, union 16, iou 1
+    g1 = np.zeros((10, 10), bool)
+    g1[:4, :4] = True
+    ev.process(box, box, g1.copy(), g1)
+    # expr 2: half-overlapping -> pred rows 0..1, gt rows 0..3 (cols 0..3):
+    # inter 8, union 16, iou 0.5
+    p2 = np.zeros((10, 10), bool)
+    p2[:2, :4] = True
+    ev.process(box, box, p2, g1)
+    # expr 3: missed (no prediction) -> inter 0, union = gt area 16, iou 0
+    ev._total += 1
+    ev.process_mask(None, g1)
+    res = ev.evaluate()
+    # oIoU = (16 + 8 + 0) / (16 + 16 + 16) = 0.5 ; mIoU = (1 + 0.5 + 0)/3
+    assert abs(res["refcoco/oIoU"] - 50.0) < 1e-6
+    assert abs(res["refcoco/mIoU"] - 100 * (1.5 / 3)) < 1e-6
 
 
 def test_panoptic_evaluator():

@@ -7,12 +7,19 @@ Never overwrites an existing file — hand-written configs win. Run from the
 repo root: python tools/gen_task_configs.py [--list]
 """
 
+import json
 import os
 import re
 import sys
 
 ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "configs")
 REF = "/root/reference/configs"
+
+# recipe facts regex-extracted from the reference configs (VALUES only —
+# hyperparameter tables that must match to be correct). Refresh with
+# tools/ref_config_facts.py; validated by tests/test_config_fidelity.py.
+_FACTS_PATH = os.path.join(ROOT, "ref_facts.json")
+FACTS = json.load(open(_FACTS_PATH)) if os.path.exists(_FACTS_PATH) else {}
 
 # ---------------------------------------------------------------------------
 # backbone token -> (common/backbone file for lsj1024, file for lsj1536,
@@ -464,7 +471,12 @@ def render(relpath):
                       "model.transformer.encoder.embed_dim_language = 768"]
 
     # ---- optimizer / train ----
+    # reference recipe facts win over the stem heuristics (ref_facts.json)
+    facts = FACTS.get(relpath, {})
     max_iter, milestones = SCHEDULES.get(t["sched"] or "", (90000, [75000, 90000]))
+    max_iter = facts.get("max_iter", max_iter)
+    milestones = facts.get("milestones", milestones)
+    eval_period = facts.get("eval_period", 20000)
     bs = t["bs"] or 16
     wd = 0.05 if (t["bb"] or "r50") != "r50" else 1e-4
     opt_extra = "    backbone_lr_mult=0.1,\n" if t["bb"] in (None, "r50") else ""
@@ -490,7 +502,7 @@ def render(relpath):
         f"    max_iter={max_iter},",
         "    checkpoint_period=5000,",
         "    log_period=20,",
-        "    eval_period=20000,",
+        f"    eval_period={eval_period},",
         f"    iter_size={t['iter_size']},",
         "    ema_decay=0.0,",
         '    init_checkpoint="",',
@@ -521,6 +533,81 @@ def render(relpath):
             'dataloader["tests"] = _suite.dataloader["tests"]',
         ]
 
+    # ---- reference recipe facts (override the stem heuristics) ----
+    fact_lines = []
+    if "num_classes" in facts:
+        fact_lines.append(f"model.num_classes = {facts['num_classes']}")
+    for flag in ("instance_on", "semantic_on", "panoptic_on"):
+        if flag in facts:
+            fact_lines.append(f'train["{flag}"] = {facts[flag]}')
+    if "select_box_nums_for_evaluation" in facts:
+        fact_lines.append(
+            f'train["select_box_nums_for_evaluation"] = '
+            f"{facts['select_box_nums_for_evaluation']}"
+        )
+    if "name_prompt_fusion_type" in facts:
+        fact_lines.append(
+            f'train["name_prompt_fusion_type"] = "{facts["name_prompt_fusion_type"]}"'
+        )
+    crit_nc = facts.get("criterion_num_classes")
+    if crit_nc and facts.get("criterion_num_classes_prefix"):
+        # only criterion[0] pinned by the reference file; drop an inherited
+        # fed-loss arm whose count table no longer fits (see repin note below)
+        fact_lines += [
+            f"if criterion.get('use_fed_loss', False) and {crit_nc[0]} < "
+            '{"lvis_v1_train": 1203, "openimages_v6": 601}.get(',
+            "    criterion.fed_loss_cls_weights.dataset, 0",
+            "):",
+            "    criterion.use_fed_loss = False",
+            "    criterion.fed_loss_cls_weights = None",
+            f"criterion.num_classes = {crit_nc[0]}",
+        ]
+        crit_nc = None
+    if crit_nc:
+        n = facts.get("num_criteria", len(crit_nc))
+        crit_nc = (crit_nc * n)[:n] if len(crit_nc) == 1 else list(crit_nc)[:n]
+        if len(set(crit_nc)) == 1 and len(crit_nc) > 3:
+            lit = f"[{crit_nc[0]}] * {len(crit_nc)}"
+        else:
+            lit = repr(list(crit_nc))
+        # the reference same-path files rebuild the criterion list with fed
+        # loss DELETED, then re-arm only the entries whose count tables fit
+        # (e.g. ..._cp_16x4_1080k.py:110-135) — so a re-pin must drop an
+        # inherited fed-loss arm whose count table no longer fits the new
+        # num_classes (table lengths: lvis_v1_train 1203, openimages_v6 601)
+        repin = [
+            '_FED_LEN = {"lvis_v1_train": 1203, "openimages_v6": 601}',
+            "for _c, _nc in zip(criterions, _ref_crit_nc):",
+            "    if _c.get('use_fed_loss', False) and _nc < _FED_LEN.get(",
+            "        _c.fed_loss_cls_weights.dataset, 0",
+            "    ):",
+            "        _c.use_fed_loss = False",
+            "        _c.fed_loss_cls_weights = None",
+            "    _c.num_classes = _nc",
+        ]
+        if ncrit == 1:
+            fact_lines += [
+                f"_ref_crit_nc = {lit}",
+                "criterions = [criterion.clone() for _ in _ref_crit_nc]",
+            ] + repin + [
+                "criterion = criterions[0]",
+            ]
+        else:
+            fact_lines += [
+                f"_ref_crit_nc = {lit}",
+                "while len(criterions) < len(_ref_crit_nc):",
+                "    _extra = criterions[0].clone()",
+                "    _extra.use_fed_loss = False",
+                "    _extra.fed_loss_cls_weights = None",
+                "    criterions.append(_extra)",
+            ] + repin
+    if fact_lines:
+        lines += [
+            "",
+            "# ---- recipe facts extracted from the reference config",
+            "# (configs/ref_facts.json via tools/ref_config_facts.py — values only) ----",
+        ] + fact_lines
+
     return "\n".join(lines) + "\n"
 
 
@@ -540,6 +627,10 @@ criterion = _base.criterion
 
 
 def main():
+    # --regen: also rewrite existing AUTO-GENERATED files (identified by the
+    # header line) so extracted reference facts propagate. Hand-written
+    # configs are never touched.
+    regen = "--regen" in sys.argv
     missing = []
     for dirpath, _, files in os.walk(REF):
         for fn in files:
@@ -548,8 +639,13 @@ def main():
             rel = os.path.relpath(os.path.join(dirpath, fn), REF)
             if rel.startswith("common/"):
                 continue
-            if not os.path.exists(os.path.join(ROOT, rel)):
+            out = os.path.join(ROOT, rel)
+            if not os.path.exists(out):
                 missing.append(rel)
+            elif regen and "/models/" not in rel:
+                with open(out) as f:
+                    if f.readline().startswith("# Auto-generated task config"):
+                        missing.append(rel)
     missing.sort()
     if "--list" in sys.argv:
         print("\n".join(missing))
