@@ -24,6 +24,9 @@ class TextBlock(nn.Module):
     width: int
     heads: int
     dtype: jnp.dtype = jnp.float32
+    # OpenAI CLIP towers (clip_wrapper.py:24-26 QuickGELU) use
+    # x * sigmoid(1.702 x); the EVA-CLIP vendored tower uses exact gelu
+    quick_gelu: bool = False
 
     @nn.compact
     def __call__(self, x, causal_mask):
@@ -44,7 +47,10 @@ class TextBlock(nn.Module):
         x = x + y
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_2")(x)
         y = nn.Dense(4 * self.width, dtype=self.dtype, name="mlp_fc")(y)
-        y = nn.gelu(y, approximate=False)
+        if self.quick_gelu:
+            y = y * jax.nn.sigmoid(1.702 * y)
+        else:
+            y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.width, dtype=self.dtype, name="mlp_proj")(y)
         return x + y
 
@@ -57,6 +63,7 @@ class CLIPTextTransformer(nn.Module):
     layers: int = 24
     output_dim: int = 1024
     dtype: jnp.dtype = jnp.float32
+    quick_gelu: bool = False
 
     @nn.compact
     def __call__(self, tokens: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -73,9 +80,13 @@ class CLIPTextTransformer(nn.Module):
         n = self.context_length
         causal = jnp.triu(jnp.full((n, n), -1e9), k=1)
         for i in range(self.layers):
-            x = TextBlock(self.width, self.heads, dtype=self.dtype, name=f"resblocks_{i}")(
-                x, causal
-            )
+            x = TextBlock(
+                self.width,
+                self.heads,
+                dtype=self.dtype,
+                quick_gelu=self.quick_gelu,
+                name=f"resblocks_{i}",
+            )(x, causal)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_final")(x)
         proj = self.param(
             "text_projection",

@@ -126,7 +126,8 @@ def _kernel_v6(
     def src_slice(b_i, ty_i, tx_i):
         # k-space column j maps query column j (+ per-u shift), for every sx
         row_s = ty_i * rows_span
-        col_s = pl.multiple_of(tx_i * tw, 8)
+        # lane-dim HBM slices must START 128-aligned too (tw == TW_V6 == 128)
+        col_s = pl.multiple_of(tx_i * tw, 128)
         return vt_hbm.at[b_i, :, :, pl.ds(row_s, tile_rows), :, pl.ds(col_s, slab_w)]
 
     if dbuf:
@@ -303,7 +304,11 @@ def _run_pair_v6(
 
     sched = _u_schedule(g)
     max_sh = max(s for _, s in sched)
-    slab_w = tw + max_sh + (1 if g.sx > 1 else 0)
+    # Mosaic HBM DMA rule (real hardware only — interpret mode does not
+    # enforce it): lane-dim slices must be 128-aligned in size and start.
+    # Round the halo'd slab width up to the next lane tile; the dead lanes
+    # cost ~µs of extra DMA and are never read by the per-u plane builds.
+    slab_w = -(-(tw + max_sh + (1 if g.sx > 1 else 0)) // 128) * 128
     need_rows = (hq // tq - 1) * rows_span + tile_rows
     vt_in = _prep_vt(v_l, g, c, plane_dtype, need_rows)
     # column coverage for the farthest tile (in slab/k coordinate space)
