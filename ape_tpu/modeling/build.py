@@ -26,8 +26,9 @@ def _window_indexes(depth: int):
     return tuple(i for i in range(depth) if (i + 1) % 3 != 0)
 
 
-def build_backbone_ti(img_size=1024, dtype=jnp.float32):
+def build_backbone_ti(img_size=1024, dtype=jnp.float32, scale_factors=(4.0, 2.0, 1.0, 0.5)):
     return SimpleFeaturePyramid(
+        scale_factors=scale_factors,
         net=EVAViT(
             img_size=img_size,
             patch_size=16,
@@ -125,6 +126,7 @@ def build_ape_ti(
     num_learned_classes=0,
     use_act_checkpoint=False,
     proposal_ambiguous=0,
+    scale_factors=(4.0, 2.0, 1.0, 0.5),
     dtype=jnp.float32,
 ):
     """APE-Ti: EVA-02-Ti backbone, no VL fusion (BASELINE.json config #1/#2).
@@ -132,10 +134,23 @@ def build_ape_ti(
     num_learned_classes > 0 selects the closed-vocabulary legacy-deta head
     (learned class-embedding bank instead of encoded text).
     use_act_checkpoint remats encoder/decoder layers (training at 1024^2
-    OOMs HBM without it: saved FFN activations are ~680 MB/layer)."""
+    OOMs HBM without it: saved FFN activations are ~680 MB/layer).
+    scale_factors: SimpleFeaturePyramid scales; the reference's latency
+    protocol (scripts/eval_time.sh:36,76) reduces them to (2.0, 1.0, 0.5)
+    and lets the neck extend to 5 levels with stride-2 extra convs."""
+    # feature names: SFP emits p{log2(16/scale)} per scale + top-block "p6"
+    # (p5-pool when 0.5 is the last scale); the neck extends to 5 levels with
+    # stride-2 extra convs named extra{i} (detrex ChannelMapper semantics)
+    import math as _math
+
+    feats = [f"p{int(_math.log2(16 / s))}" for s in scale_factors] + ["p6"]
+    feats = sorted(set(feats), key=lambda n: int(n[1:]))
+    feats += [f"extra{i}" for i in range(5 - len(feats))]
     return APEDeta(
-        backbone=build_backbone_ti(img_size, dtype),
-        neck=ChannelMapper(out_channels=256, dtype=dtype),
+        backbone=build_backbone_ti(img_size, dtype, scale_factors=scale_factors),
+        neck=ChannelMapper(out_channels=256, num_outs=5, dtype=dtype),
+        in_features=tuple(feats),
+        mask_in_feature=feats[0],
         transformer=build_transformer(
             num_queries=num_queries,
             vl_fusion=False,

@@ -77,6 +77,9 @@ def _hat(x):
 
 # taps statically chained per acc read-modify-write in the dynamic v loop
 GROUP = int(os.environ.get("APE_MSDA_V6_GROUP", "4"))
+# weight-broadcast lowering: 4-D dim-1 broadcast (w8[:, None] * view4) vs the
+# materialized broadcast_to+reshape — A/B'd on chip, see PERF.md round 4
+BC4D = os.environ.get("APE_MSDA_V6_BC4D", "1") != "0"
 # query-row tile cap; lanes are fixed at TW=128 (full lane width)
 TQ_CAP_V6 = int(os.environ.get("APE_MSDA_V6_TQ_CAP", "64"))
 TW_V6 = 128
@@ -220,11 +223,6 @@ def _kernel_v6(
                     for p_i in range(1, npt):
                         w8 = w8 + whp[:, p_i * h : (p_i + 1) * h, :]
                     w8 = w8 * live
-                    # broadcast across channels: every 8-sublane block of the
-                    # view is h = 0..7, so w8 tiles along sublanes for free
-                    wb = jnp.broadcast_to(
-                        w8[:, None], (tq, c // h, h, tw)
-                    ).reshape(tq, c, tw)
                     if g.sy > 1:
                         phi = (g.int_y + v_eff) % g.sy
                         dy = (g.int_y + v_eff) // g.sy
@@ -236,7 +234,20 @@ def _kernel_v6(
                         view = jnp.broadcast_to(
                             view[:, None], (rows_span, g.inv_y, c, tw)
                         ).reshape(tq, c, tw)
-                    acc = acc + wb * view.astype(jnp.float32)
+                    if BC4D:
+                        # channel broadcast as a dim-1 (non-minor) broadcast:
+                        # every 8-sublane block of the view is h = 0..7, so
+                        # w8 (tq, h, tw) scales all c//h blocks
+                        view4 = view.reshape(tq, c // h, h, tw)
+                        acc = (
+                            acc.reshape(tq, c // h, h, tw)
+                            + w8[:, None] * view4.astype(jnp.float32)
+                        ).reshape(tq, c, tw)
+                    else:
+                        wb = jnp.broadcast_to(
+                            w8[:, None], (tq, c // h, h, tw)
+                        ).reshape(tq, c, tw)
+                        acc = acc + wb * view.astype(jnp.float32)
                 acc_ref[...] = acc
                 return 0
 

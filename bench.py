@@ -30,8 +30,16 @@ def main():
 
     from ape_tpu.modeling.build import build_ape_ti
 
+    # Protocol (default): the reference's own latency protocol
+    # (scripts/eval_time.sh:36,76) — segmentation off and FPN scale_factors
+    # reduced to (2.0, 1.0, 0.5) with the neck extending to 5 levels — the
+    # protocol class the A100 estimate was derived from. BENCH_FULL=1 times
+    # the full 5-scale masked model instead (the round-1..3 numbers).
+    full = os.environ.get("BENCH_FULL", "0") != "0"
     model = build_ape_ti(
         img_size=IMG, num_queries=900, window_radius=4,
+        mask_on=full,
+        scale_factors=(4.0, 2.0, 1.0, 0.5) if full else (2.0, 1.0, 0.5),
         dtype=jnp.dtype(DTYPE),
     )
     rng = np.random.RandomState(0)
@@ -57,6 +65,32 @@ def main():
 
     params = jax.tree.map(synth, shapes)
 
+    # Realistic offset magnitudes (default ON): N(0,0.02) synth makes every
+    # sampling offset near-zero, which lets the kernels' inactive-tap skip
+    # make MSDA look ~2x faster than it is under trained weights (PERF.md
+    # "Realistic-offset pair costs"). Re-arm the sampling_offsets biases with
+    # the reference's directional ring init (deformable_transformer init:
+    # head h at angle 2*pi*h/H, point p at radius p+1 — multi-pixel taps),
+    # scaled by BENCH_OFF_SCALE. BENCH_REALISTIC=0 restores the old behavior.
+    if os.environ.get("BENCH_REALISTIC", "1") != "0":
+        from ape_tpu.layers.msda_module import _offset_bias_init
+
+        off_scale = float(os.environ.get("BENCH_OFF_SCALE", "1.0"))
+
+        def rearm(path, leaf):
+            keys = [getattr(p, "key", "") for p in path]
+            if "sampling_offsets" in keys and keys[-1] == "bias":
+                h_l_p = leaf.shape[0] // 2
+                # layer dims vary (decoder L=5, encoder L=5); ring init only
+                # needs H*L*P*2 == bias size with H=8, P=4
+                levels = h_l_p // (8 * 4)
+                return jnp.asarray(
+                    _offset_bias_init(8, levels, 4) * off_scale, leaf.dtype
+                )
+            return leaf
+
+        params = jax.tree_util.tree_map_with_path(rearm, params)
+
     @jax.jit
     def fwd(params, images, image_sizes, text, text_valid):
         out = model.apply({"params": params}, images, image_sizes, text, text_valid)
@@ -77,6 +111,7 @@ def main():
     img_per_s = bsz / dt
 
     tag = f" batch {bsz}" if bsz > 1 else ""
+    tag += " (full 5-scale+mask)" if full else ""
     print(
         json.dumps(
             {

@@ -128,3 +128,20 @@ def test_single_stage_detr_forward(rng):
         losses = criterion(jax.random.PRNGKey(1), out, targets, jnp.asarray(2.0))
         total = criterion.total(losses)
         assert np.isfinite(float(total)), losses
+
+
+def test_reduced_scale_latency_protocol_forward(rng):
+    """The reference latency protocol (scripts/eval_time.sh:36,76): mask off,
+    FPN scale_factors (2.0, 1.0, 0.5), neck extends to 5 levels via stride-2
+    extra convs. bench.py's default protocol — pin that it builds and runs."""
+    model = build_ape_ti(
+        img_size=64, num_queries=16, window_radius=2,
+        mask_on=False, scale_factors=(2.0, 1.0, 0.5),
+    )
+    images, sizes, text, tvalid = make_inputs(rng)
+    params = model.init(jax.random.PRNGKey(0), images, sizes, text, tvalid)
+    out = model.apply(params, images, sizes, text, tvalid)
+    assert out["pred_logits"].shape == (1, 16, 4)
+    assert "pred_masks" not in out or out.get("pred_masks") is None
+    for k in ("pred_logits", "pred_boxes"):
+        assert np.isfinite(np.asarray(out[k])).all(), k
