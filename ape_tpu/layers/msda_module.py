@@ -20,6 +20,7 @@ import math
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax.ad_checkpoint
 import jax.numpy as jnp
 import numpy as np
 
@@ -101,6 +102,12 @@ class MultiScaleDeformableAttention(nn.Module):
             out = ms_deform_attn_window_dispatch(
                 v, spatial_shapes, pixel_offsets, weights, radius=self.window_radius
             )
+            # remat-policy tag: under nn.remat(policy=save_only_these_names
+            # ("msda_out")) the window-kernel output is SAVED, so the encoder
+            # backward does not re-run the Pallas forward (its residuals are
+            # the projections' outputs, recomputed cheaply); see
+            # transformer.py use_act_checkpoint
+            out = jax.ad_checkpoint.checkpoint_name(out, "msda_out")
         else:
             norm = jnp.asarray(
                 [[w_, h_] for h_, w_ in spatial_shapes], dtype=jnp.float32

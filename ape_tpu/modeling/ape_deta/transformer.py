@@ -21,12 +21,27 @@ TPU-first design:
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _remat_policy():
+    """Remat policy for the encoder/decoder layer checkpointing.
+
+    Default saves the window-MSDA kernel outputs (tagged "msda_out" in
+    layers/msda_module.py): the backward pass then reruns only the cheap
+    projections instead of the Pallas forward sweep, at ~45 MB/layer of extra
+    saved activations (87k tokens x 256 x bf16 at 1024²). APE_REMAT_POLICY=
+    full restores everything-recomputed (the round-3 behavior).
+    """
+    if os.environ.get("APE_REMAT_POLICY", "msda") == "full":
+        return None
+    return jax.checkpoint_policies.save_only_these_names("msda_out")
 
 from ape_tpu.layers import FFN, MLP, BiAttentionBlock, MultiheadAttention
 from ape_tpu.layers.msda_module import MultiScaleDeformableAttention
@@ -301,7 +316,9 @@ class DeformableTransformerEncoder(nn.Module):
     ):
         layer_cls = EncoderLayer
         if self.use_act_checkpoint:
-            layer_cls = nn.remat(EncoderLayer, static_argnums=(4,))
+            layer_cls = nn.remat(
+                EncoderLayer, static_argnums=(4,), policy=_remat_policy()
+            )
         for i in range(self.num_layers):
             if self.vl_fusion and text is not None:
                 x, text = BiAttentionBlock(

@@ -1,12 +1,19 @@
 #!/usr/bin/env python
-"""Gradio web demo for prompted detection/segmentation.
+"""Gradio web demo for prompted detection/segmentation/grounding.
 
-Capability match: /root/reference/demo/app.py — model switcher (APE-Ti / APE-L
-variants), task selector (det/insseg/semseg), text prompt box, example gallery.
+Capability match: /root/reference/demo/app.py — per-model tabs for the five
+released checkpoints (APE-Ti, APE-L_A..D: reference :528-714 loaders, :716-900
+tabs), a model-comparison tab (:408-428), an example gallery per tab
+(:30-250 example tables), output-type checkboxes, a JSON results panel next
+to the visualization, and a score-threshold slider.
+
 Gradio is an optional dependency (not baked into the TPU image); the module
-degrades to a CLI hint when absent.
+degrades to a CLI hint when absent. Checkpoints resolve through the model
+zoo (env `APE_CKPT_<NAME>` overrides; offline fallback = random init with a
+visible warning, mirroring model_zoo semantics).
 """
 
+import json
 import logging
 import os
 import sys
@@ -15,60 +22,149 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 logger = logging.getLogger("ape_tpu")
 
-MODEL_CONFIGS = {
-    "APE-Ti": "configs/COCO_InstanceSegmentation/ape_deta/ape_deta_vitt_eva02_lsj1024_12ep.py",
-    "APE-L_D": "configs/LVIS_InstanceSegmentation/ape_deta/ape_deta_vitl_eva02_clip_vlf_lsj1024.py",
-}
+THIS_DIR = os.path.dirname(os.path.abspath(__file__))
+
+# model name -> zoo name; configs/checkpoints resolve via ape_tpu.model_zoo
+MODEL_NAMES = ["APE-Ti", "APE-L_A", "APE-L_B", "APE-L_C", "APE-L_D"]
+
+OUTPUT_TYPES = ["object detection", "instance segmentation", "semantic segmentation"]
+
+# example rows: (image path, prompt, threshold, output types). Images are
+# looked up under demo/examples/ and rows with missing files are dropped, so
+# the gallery works with whatever assets are present.
+EXAMPLES = [
+    ("Totoro01.png", "Totoro", 0.15, OUTPUT_TYPES[:2]),
+    ("TheGreatWall.jpg", "the Great Wall", 0.25, OUTPUT_TYPES[:1]),
+    ("Pisa.jpg", "Leaning Tower of Pisa", 0.25, OUTPUT_TYPES[:2]),
+    ("SolvayConference1927.jpg", "person", 0.3, OUTPUT_TYPES[:1]),
+    ("Transformers.webp", "Optimus Prime", 0.2, OUTPUT_TYPES[:2]),
+    ("cat_dog.jpg", "cat,dog,frisbee", 0.3, OUTPUT_TYPES[:2]),
+]
+
+
+def _examples():
+    rows = []
+    for name, prompt, thr, types in EXAMPLES:
+        path = os.path.join(THIS_DIR, "examples", name)
+        if os.path.exists(path):
+            rows.append([path, prompt, thr, types])
+    return rows
+
+
+def _load(model_name, cache):
+    if model_name not in cache:
+        from ape_tpu.model_zoo import model_zoo
+        from demo.predictor_lazy import VisualizationDemo
+
+        env_key = f"APE_CKPT_{model_name.replace('-', '_')}"
+        ckpt = os.environ.get(env_key, "")
+        ape, img_size = model_zoo.get(model_name, checkpoint_path=ckpt or None)
+        cache[model_name] = VisualizationDemo(ape, img_size)
+    return cache[model_name]
+
+
+def _predict(demo, image, text_prompt, threshold, output_types):
+    import numpy as np
+
+    demo.threshold = threshold
+    pred, vis = demo.run_on_image(
+        np.asarray(image),
+        text_prompt=text_prompt or None,
+        with_box="object detection" in output_types,
+        with_mask="instance segmentation" in output_types,
+        with_sseg="semantic segmentation" in output_types,
+    )
+    return vis, _json_results(pred, threshold)
+
+
+def _json_results(pred, threshold):
+    """Reference returns COCO-ish json results beside the image (:757,:807)."""
+    import numpy as np
+
+    names = pred.get("text_list", [])
+    out = []
+    scores = np.asarray(pred.get("scores", []))
+    boxes = np.asarray(pred.get("boxes", np.zeros((0, 4))))
+    labels = np.asarray(pred.get("labels", np.zeros((0,), np.int64)))
+    for i in range(len(scores)):
+        if scores[i] < threshold:
+            continue
+        li = int(labels[i]) if i < len(labels) else -1
+        out.append(
+            {
+                "score": round(float(scores[i]), 4),
+                "category": names[li] if 0 <= li < len(names) else str(li),
+                "bbox_xyxy": [round(float(v), 1) for v in boxes[i]] if i < len(boxes) else None,
+            }
+        )
+    return out
 
 
 def build_demo():
     import gradio as gr
-    import numpy as np
-
-    from demo.demo_lazy import build_model
-    from demo.predictor_lazy import VisualizationDemo
 
     cache = {}
 
-    def get_demo(model_name):
-        if model_name not in cache:
-            class A:
-                config_file = MODEL_CONFIGS[model_name]
-                init_checkpoint = os.environ.get(f"APE_CKPT_{model_name.replace('-', '_')}", "")
-                opts = []
+    def make_tab(model_name):
+        with gr.Tab(model_name):
+            with gr.Row(equal_height=False):
+                with gr.Column(scale=1):
+                    image = gr.Image(type="pil", label="input image")
+                    prompt = gr.Textbox(
+                        label="text prompt (comma-separated names, or a phrase)"
+                    )
+                    threshold = gr.Slider(0.0, 1.0, 0.3, label="score threshold")
+                    types = gr.CheckboxGroup(
+                        OUTPUT_TYPES, value=OUTPUT_TYPES[:1], label="output types"
+                    )
+                    btn = gr.Button("Run")
+                with gr.Column(scale=2):
+                    out_img = gr.Image(label="output")
+                    out_json = gr.JSON(label="json results")
+            rows = _examples()
+            if rows:
+                gr.Examples(examples=rows, inputs=[image, prompt, threshold, types])
 
-            ape, img_size = build_model(A())
-            cache[model_name] = VisualizationDemo(ape, img_size)
-        return cache[model_name]
+            def run(image, prompt, threshold, types, model_name=model_name):
+                demo = _load(model_name, cache)
+                return _predict(demo, image, prompt, threshold, types)
 
-    def run(image, text_prompt, model_name, task, threshold):
-        demo = get_demo(model_name)
-        demo.threshold = threshold
-        _, vis = demo.run_on_image(
-            np.asarray(image),
-            text_prompt=text_prompt or None,
-            with_box=task in ("detection", "instance segmentation"),
-            with_mask=task == "instance segmentation",
-            with_sseg=task == "semantic segmentation",
-        )
-        return vis
+            btn.click(run, [image, prompt, threshold, types], [out_img, out_json])
+
+    def make_comparison_tab():
+        with gr.Tab("Comparison"):
+            with gr.Row(equal_height=False):
+                with gr.Column(scale=1):
+                    image = gr.Image(type="pil", label="input image")
+                    prompt = gr.Textbox(label="text prompt")
+                    threshold = gr.Slider(0.0, 1.0, 0.3, label="score threshold")
+                    models = gr.CheckboxGroup(
+                        MODEL_NAMES, value=["APE-Ti"], label="models"
+                    )
+                    btn = gr.Button("Run all")
+                with gr.Column(scale=2):
+                    gallery = gr.Gallery(label="outputs (one per model)")
+
+            def run_all(image, prompt, threshold, models):
+                outs = []
+                for name in models:
+                    demo = _load(name, cache)
+                    vis, _ = _predict(demo, image, prompt, threshold, OUTPUT_TYPES[:2])
+                    outs.append((vis, name))
+                return outs
+
+            btn.click(run_all, [image, prompt, threshold, models], gallery)
 
     with gr.Blocks(title="APE-TPU") as ui:
-        gr.Markdown("# APE-TPU: Aligning and Prompting Everything, on TPU")
-        with gr.Row():
-            with gr.Column():
-                image = gr.Image(type="pil")
-                prompt = gr.Textbox(label="text prompt (comma-separated)")
-                model_name = gr.Dropdown(list(MODEL_CONFIGS), value="APE-Ti", label="model")
-                task = gr.Radio(
-                    ["detection", "instance segmentation", "semantic segmentation"],
-                    value="detection",
-                    label="task",
-                )
-                threshold = gr.Slider(0.0, 1.0, 0.3, label="confidence threshold")
-                btn = gr.Button("Run")
-            out = gr.Image(label="output")
-        btn.click(run, [image, prompt, model_name, task, threshold], out)
+        gr.Markdown(
+            "# APE-TPU: Aligning and Prompting Everything, on TPU\n"
+            "Prompted open-vocabulary detection, instance/semantic "
+            "segmentation and visual grounding. Five released-checkpoint "
+            "slots; set `APE_CKPT_<NAME>` to a converted checkpoint path."
+        )
+        for name in MODEL_NAMES:
+            make_tab(name)
+        make_comparison_tab()
     return ui
 
 

@@ -145,3 +145,28 @@ def test_reduced_scale_latency_protocol_forward(rng):
     assert "pred_masks" not in out or out.get("pred_masks") is None
     for k in ("pred_logits", "pred_boxes"):
         assert np.isfinite(np.asarray(out[k])).all(), k
+
+
+def test_remat_policy_grads_match(rng):
+    """use_act_checkpoint + the save-msda_out remat policy must not change
+    gradients vs no remat (policy only affects what is saved vs recomputed)."""
+    images, sizes, text, tvalid = make_inputs(rng)
+
+    def loss_fn(model, params):
+        out = model.apply(params, images, sizes, text, tvalid)
+        return jnp.sum(out["pred_logits"].astype(jnp.float32) ** 2) + jnp.sum(
+            out["pred_boxes"].astype(jnp.float32)
+        )
+
+    plain = build_ape_ti(img_size=64, num_queries=16, window_radius=2)
+    remat = build_ape_ti(
+        img_size=64, num_queries=16, window_radius=2, use_act_checkpoint=True
+    )
+    params = plain.init(jax.random.PRNGKey(0), images, sizes, text, tvalid)
+    g_plain = jax.grad(lambda p: loss_fn(plain, p))(params)
+    g_remat = jax.grad(lambda p: loss_fn(remat, p))(params)
+    flat_p = jax.tree_util.tree_leaves(g_plain)
+    flat_r = jax.tree_util.tree_leaves(g_remat)
+    assert len(flat_p) == len(flat_r)
+    for a, b in zip(flat_p, flat_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
