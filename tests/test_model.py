@@ -147,6 +147,7 @@ def test_reduced_scale_latency_protocol_forward(rng):
         assert np.isfinite(np.asarray(out[k])).all(), k
 
 
+@pytest.mark.heavy
 def test_remat_policy_grads_match(rng):
     """use_act_checkpoint + the save-msda_out remat policy must not change
     gradients vs no remat (policy only affects what is saved vs recomputed)."""
@@ -158,9 +159,21 @@ def test_remat_policy_grads_match(rng):
             out["pred_boxes"].astype(jnp.float32)
         )
 
-    plain = build_ape_ti(img_size=64, num_queries=16, window_radius=2)
-    remat = build_ape_ti(
-        img_size=64, num_queries=16, window_radius=2, use_act_checkpoint=True
+    def depth2(m):
+        # 2 encoder + 2 decoder layers: the policy applies per layer, extra
+        # depth only multiplies trace/compile time
+        return m.copy(
+            transformer=m.transformer.copy(
+                encoder=m.transformer.encoder.copy(num_layers=2),
+                decoder=m.transformer.decoder.copy(num_layers=2),
+            )
+        )
+
+    plain = depth2(build_ape_ti(img_size=64, num_queries=16, window_radius=2))
+    remat = depth2(
+        build_ape_ti(
+            img_size=64, num_queries=16, window_radius=2, use_act_checkpoint=True
+        )
     )
     params = plain.init(jax.random.PRNGKey(0), images, sizes, text, tvalid)
     g_plain = jax.grad(lambda p: loss_fn(plain, p))(params)
