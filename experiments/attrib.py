@@ -61,9 +61,22 @@ def timed(fn, *args, chains=(1, 3), reps=3):
 def synth_params(model, init_fn):
     shapes = jax.eval_shape(init_fn, jax.random.PRNGKey(0))["params"]
     prng = np.random.RandomState(0)
-    return jax.tree.map(
+    params = jax.tree.map(
         lambda s: jnp.asarray(prng.normal(0, 0.02, s.shape).astype(s.dtype)), shapes
     )
+    if os.environ.get("ATTRIB_REALISTIC", "1") != "0":
+        # bench.py's realistic-offset rearm (directional ring init biases)
+        from ape_tpu.layers.msda_module import _offset_bias_init
+
+        def rearm(path, leaf):
+            keys = [getattr(p, "key", "") for p in path]
+            if "sampling_offsets" in keys and keys[-1] == "bias":
+                levels = leaf.shape[0] // 2 // (8 * 4)
+                return jnp.asarray(_offset_bias_init(8, levels, 4), leaf.dtype)
+            return leaf
+
+        params = jax.tree_util.tree_map_with_path(rearm, params)
+    return params
 
 
 PARTS = set(os.environ.get("ATTRIB_PARTS", "full,bb,enc,sel").split(","))
@@ -72,7 +85,12 @@ PARTS = set(os.environ.get("ATTRIB_PARTS", "full,bb,enc,sel").split(","))
 def main():
     from ape_tpu.modeling.build import build_ape_ti
 
-    model = build_ape_ti(img_size=IMG, num_queries=900, window_radius=4, dtype=DTYPE)
+    proto = os.environ.get("ATTRIB_PROTOCOL", "0") != "0"
+    model = build_ape_ti(
+        img_size=IMG, num_queries=900, window_radius=4, dtype=DTYPE,
+        mask_on=not proto,
+        scale_factors=(2.0, 1.0, 0.5) if proto else (4.0, 2.0, 1.0, 0.5),
+    )
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.randn(1, IMG, IMG, 3), jnp.float32)
     sizes = jnp.asarray([[IMG, IMG]], jnp.int32)
