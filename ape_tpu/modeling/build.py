@@ -49,8 +49,12 @@ def build_backbone_ti(img_size=1024, dtype=jnp.float32, scale_factors=(4.0, 2.0,
     )
 
 
-def build_backbone_l(img_size=1024, dtype=jnp.float32, drop_path_rate=0.0):
+def build_backbone_l(
+    img_size=1024, dtype=jnp.float32, drop_path_rate=0.0,
+    scale_factors=(4.0, 2.0, 1.0, 0.5),
+):
     return SimpleFeaturePyramid(
+        scale_factors=scale_factors,
         net=EVAViT(
             img_size=img_size,
             patch_size=16,
@@ -178,12 +182,26 @@ def build_ape_l_d(
     use_act_checkpoint=True,
     drop_path_rate=0.4,
     proposal_ambiguous=0,
+    scale_factors=(4.0, 2.0, 1.0, 0.5),
     dtype=jnp.float32,
 ):
-    """APE-L_D: ViT-L EVA-02-CLIP backbone + vision-language fusion (flagship)."""
+    """APE-L_D: ViT-L EVA-02-CLIP backbone + vision-language fusion (flagship).
+
+    scale_factors mirrors build_ape_ti: the reference's latency protocol
+    (scripts/eval_time.sh:36,76) reduces the pyramid to (2.0, 1.0, 0.5) with
+    the neck extending to 5 levels via stride-2 extra convs."""
+    import math as _math
+
+    feats = [f"p{int(_math.log2(16 / s))}" for s in scale_factors] + ["p6"]
+    feats = sorted(set(feats), key=lambda n: int(n[1:]))
+    feats += [f"extra{i}" for i in range(5 - len(feats))]
     return APEDeta(
-        backbone=build_backbone_l(img_size, dtype, drop_path_rate),
-        neck=ChannelMapper(out_channels=256, dtype=dtype),
+        backbone=build_backbone_l(
+            img_size, dtype, drop_path_rate, scale_factors=scale_factors
+        ),
+        neck=ChannelMapper(out_channels=256, num_outs=5, dtype=dtype),
+        in_features=tuple(feats),
+        mask_in_feature=feats[0],
         transformer=build_transformer(
             num_queries=num_queries,
             vl_fusion=True,

@@ -195,15 +195,29 @@ def build_openclip_text_encoder(open_clip_name: str, open_clip_model: str):
     return enc, enc.tokenize
 
 
+def _encode_bucketed(model, tokens: np.ndarray) -> jnp.ndarray:
+    """Pad the batch to a power of two before the jitted encode and slice back
+    (the same bucketing as ``CLIPTEXT.__call__``) so each distinct vocabulary
+    size does not retrace the jit."""
+    n = tokens.shape[0]
+    bucket = 1 << max(0, (n - 1).bit_length())
+    if bucket != n:
+        tokens = np.concatenate(
+            [tokens, np.zeros((bucket - n, tokens.shape[1]), np.int32)]
+        )
+    return model.encode_text(tokens)[:n]
+
+
 def get_openclip_embeddings(model, tokenizer, vocabulary, prompt="a ") -> jnp.ndarray:
     sentences = [prompt + x for x in vocabulary]
     tokens = np.asarray(tokenizer(sentences), np.int32)
     if len(tokens) > 10000:  # chunk giant vocabularies (clip_wrapper_open.py:38-46)
         half = len(tokens) // 2
         return jnp.concatenate(
-            [model.encode_text(tokens[:half]), model.encode_text(tokens[half:])], axis=0
+            [_encode_bucketed(model, tokens[:half]), _encode_bucketed(model, tokens[half:])],
+            axis=0,
         )
-    return model.encode_text(tokens)
+    return _encode_bucketed(model, tokens)
 
 
 class TextModel:

@@ -34,7 +34,7 @@ from ape_tpu.ops.msda_window import pixel_offsets_to_locations
 # caches traces, so a mid-process flip would silently keep the old kernel
 _USE_FUSED_V5 = os.environ.get("APE_MSDA_FUSED", "0") != "0"
 # v6 transposed-layout kernel (channels on sublanes, no MXU weight expansion)
-# for wide query levels; see ops/msda_window_pallas_v6.py
+# for wide query levels; see experiments/msda_window_pallas_v6.py
 _USE_V6 = os.environ.get("APE_MSDA_V6", "0") != "0"
 
 
@@ -53,7 +53,7 @@ def _window_pallas_with_exact_grad(value, spatial_shapes, pixel_offsets, attenti
             value, spatial_shapes, pixel_offsets, attention_weights, radius
         )
     if _USE_V6 and value.shape[2] == 8:
-        from ape_tpu.ops.msda_window_pallas_v6 import ms_deform_attn_window_pallas_v6
+        from experiments.msda_window_pallas_v6 import ms_deform_attn_window_pallas_v6
 
         return ms_deform_attn_window_pallas_v6(
             value, spatial_shapes, pixel_offsets, attention_weights, radius

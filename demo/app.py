@@ -53,12 +53,28 @@ def _examples():
 
 def _load(model_name, cache):
     if model_name not in cache:
+        import types
+
         from ape_tpu.model_zoo import model_zoo
+        from demo.demo_lazy import build_model
         from demo.predictor_lazy import VisualizationDemo
 
         env_key = f"APE_CKPT_{model_name.replace('-', '_')}"
-        ckpt = os.environ.get(env_key, "")
-        ape, img_size = model_zoo.get(model_name, checkpoint_path=ckpt or None)
+        ckpt = os.environ.get(env_key, "") or model_zoo._local_checkpoint(model_name) or ""
+        if not ckpt:
+            logger.warning(
+                f"{model_name}: no checkpoint via ${env_key} or $APE_CHECKPOINT_DIR; "
+                "running with random-init params"
+            )
+        # build the full APE engine wrapper (model + params + language model)
+        # exactly as the CLI demo does — model_zoo.get() returns only the bare
+        # (model, params) pair, which the predictor cannot drive
+        args = types.SimpleNamespace(
+            config_file=model_zoo.get_config_file(model_name),
+            opts=[],
+            init_checkpoint=ckpt,
+        )
+        ape, img_size = build_model(args)
         cache[model_name] = VisualizationDemo(ape, img_size)
     return cache[model_name]
 
@@ -83,9 +99,10 @@ def _json_results(pred, threshold):
 
     names = pred.get("text_list", [])
     out = []
-    scores = np.asarray(pred.get("scores", []))
-    boxes = np.asarray(pred.get("boxes", np.zeros((0, 4))))
-    labels = np.asarray(pred.get("labels", np.zeros((0,), np.int64)))
+    inst = pred.get("instances") or {}
+    scores = np.asarray(inst.get("scores", []))
+    boxes = np.asarray(inst.get("boxes", np.zeros((0, 4))))
+    labels = np.asarray(inst.get("classes", np.zeros((0,), np.int64)))
     for i in range(len(scores)):
         if scores[i] < threshold:
             continue

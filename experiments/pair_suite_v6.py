@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ape_tpu.ops.msda_window_pallas_v2 import _run_pair_v2
-from ape_tpu.ops.msda_window_pallas_v6 import _run_pair_v6
+from experiments.msda_window_pallas_v6 import _run_pair_v6
 
 H, P, D = 8, 4, 32
 C = H * D

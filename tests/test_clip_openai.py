@@ -71,8 +71,7 @@ def test_cliptext_matches_torch(rng):
     # tokens: ids below EOT, EOT (highest id) at a varying position
     tokens = rng.randint(1, 40, size=(3, 12)).astype(np.int64)
     for i, pos in enumerate((4, 7, 11)):
-        tokens[i, pos] = 49 - 0  # vocab_size-1 is the max id -> argmax pool
-        tokens[i, pos] = 49
+        tokens[i, pos] = 49  # vocab_size-1 is the max id -> argmax pool
         tokens[i, pos + 1 :] = 0
     with torch.no_grad():
         want = ref.encode_text(torch.from_numpy(tokens)).numpy()

@@ -1,6 +1,6 @@
 """v6 transposed-layout window-MSDA kernel vs the XLA window reference.
 
-The v6 kernel (ops/msda_window_pallas_v6.py) holds value tiles channels-on-
+The v6 kernel (experiments/msda_window_pallas_v6.py) holds value tiles channels-on-
 sublanes / window-x-on-lanes so the per-tap weight path is pure VPU FMA
 (no MXU expansion — the v2 K=32 floor). Semantics are identical to the XLA
 oracle; these interpret-mode tests pin that on the full op (mixed v6+v2
@@ -20,7 +20,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ape_tpu.ops.msda_window import ms_deform_attn_window
-from ape_tpu.ops.msda_window_pallas_v6 import (
+from experiments.msda_window_pallas_v6 import (
     _run_pair_v6,
     ms_deform_attn_window_pallas_v6,
 )
