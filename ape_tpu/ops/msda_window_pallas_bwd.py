@@ -66,6 +66,27 @@ BWD_VP = os.environ.get("APE_MSDA_BWD_VP", "1") != "0"
 VMEM_BUDGET_BWD = int(os.environ.get("APE_MSDA_BWD_VMEM_MB", "48")) * 1024 * 1024
 TQ_CAP_BWD = int(os.environ.get("APE_MSDA_BWD_TQ_CAP", "32"))
 TW_CAP_BWD = int(os.environ.get("APE_MSDA_BWD_TW_CAP", "64"))
+# Round-5 tap-body restructure (the PERF.md floor analysis): cut the per-tap
+# full-C VPU passes —
+#   * gv for the s-dot is one bf16 mul (gt_bf * view): no f32 upconvert of
+#     the view, no f32 product, no downcast (3 passes -> 1);
+#   * the inv_y>1 view row-repeat rides inside that mul as a broadcast
+#     instead of a materialized broadcast_to pass.
+# The bf16 gv product adds one rounding to d_off/d_att (within the existing
+# 2e-2 parity tolerance).
+# Round-5 chip A/B (encoder race, OFF_SCALE=2): LOSES — 86.2 vs 84.0
+# ms/layer. The per-tap elementwise passes are not the bottleneck (see the
+# bf16-d-slab result below); default OFF, kept for re-measure.
+BWD_TAPV2 = os.environ.get("APE_MSDA_BWD_TAPV2", "0") != "0"
+# bf16 d-value slabs: halves the per-tap d-slab RMW VMEM traffic (the other
+# per-tap floor term). Precision class matches the reference's own fp16 AMP
+# backward (ms_deform_attn_cuda.cu AT_DISPATCH_..._HALF accumulates d_value
+# in half atomics); the cross-tile vp fold stays f32.
+# Round-5 chip A/B: LOSES too (87.2 ms/layer with TAPV2) — together with the
+# TAPV2 result this says the merged backward is NOT VPU-pass- or VMEM-
+# bandwidth-bound; the residual cost is per-tap issue/serialization (see
+# PERF.md round 5). Default OFF.
+BWD_DSLAB_BF16 = os.environ.get("APE_MSDA_BWD_DSLAB_BF16", "0") != "0"
 
 
 def _dpos(z):
@@ -693,13 +714,22 @@ def _grad_kernel_merged(
                 hx = _hat(u - px)
                 # ---- d_off / d_att: s_h = <g, view>_D via one K=C dot ----
                 view = slabs[plane_idx, phi_y, pl.ds(dy, rows_q), pl.ds(a8, tw), :]
-                if g.inv_y > 1:
-                    view = jnp.broadcast_to(
-                        view[:, None], (rows_q, g.inv_y, tw, view.shape[-1])
-                    ).reshape(rows_q * g.inv_y, tw, view.shape[-1])
-                gv = gt * view.astype(jnp.float32)
+                if BWD_TAPV2:
+                    if g.inv_y > 1:
+                        gv = (
+                            gt_bf.reshape(rows_q, g.inv_y, tw, c) * view[:, None]
+                        ).reshape(rows_q * g.inv_y, tw, c)
+                    else:
+                        gv = gt_bf * view
+                else:
+                    viewq = view
+                    if g.inv_y > 1:
+                        viewq = jnp.broadcast_to(
+                            view[:, None], (rows_q, g.inv_y, tw, view.shape[-1])
+                        ).reshape(rows_q * g.inv_y, tw, view.shape[-1])
+                    gv = (gt * viewq.astype(jnp.float32)).astype(jnp.bfloat16)
                 s = jax.lax.dot_general(
-                    gv.astype(jnp.bfloat16), expand2T,
+                    gv, expand2T,
                     dimension_numbers=(((2,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
@@ -719,7 +749,7 @@ def _grad_kernel_merged(
                     contrib = contrib.reshape(rows_q, g.inv_y, tw, c).sum(axis=1)
                 dslab[plane_idx, phi_y, pl.ds(dy, rows_q), a8 : a8 + tw, :] = (
                     dslab[plane_idx, phi_y, pl.ds(dy, rows_q), a8 : a8 + tw, :]
-                    + contrib
+                    + contrib.astype(dslab.dtype)
                 )
 
         return 0
@@ -735,7 +765,8 @@ def _grad_kernel_merged(
     rd.wait()
     for p, (phase, shift) in enumerate(_plane_fold_map(g)):
         dacc[phase, :, :, shift : shift + slab_w, :] = (
-            dacc[phase, :, :, shift : shift + slab_w, :] + dslab[p]
+            dacc[phase, :, :, shift : shift + slab_w, :]
+            + dslab[p].astype(jnp.float32)
         )
     wr = pltpu.make_async_copy(dacc, region(dvp_out), rw_sem)
     wr.start()
@@ -754,8 +785,10 @@ def _run_pair_grad_merged(
 
     fold_map = _plane_fold_map(g)
     max_shift = max(s for _, s in fold_map)
+    dslab_dtype = jnp.bfloat16 if BWD_DSLAB_BF16 else jnp.float32
+    dslab_bytes = np.dtype(dslab_dtype).itemsize
 
-    # budget: bf16 slabs + f32 dslab + f32 dacc + stack temporaries
+    # budget: bf16 slabs + dslab + f32 dacc + stack temporaries
     def fits(tq, tw):
         rows_q = tq if g.sy > 1 else tq // g.inv_y
         t_rows = rows_q + g.halo_y
@@ -766,7 +799,7 @@ def _run_pair_grad_merged(
         slab_b = n * g.sy * t_rows * sl_w * c * pb
         if BWD_VP:
             slab_b += sphase * g.sy * t_rows * sl_wd * c * pb  # vslab
-        dslab_b = n * g.sy * t_rows * sl_w * c * 4
+        dslab_b = n * g.sy * t_rows * sl_w * c * dslab_bytes
         dacc_b = sphase * g.sy * t_rows * sl_wd * c * 4
         accs = 3 * tq * tw * heads * num_points * 4
         blocks = tq * tw * (4 * 32 * 2 + 3 * 32 * 2 + 2 * c) * 4
@@ -857,7 +890,7 @@ def _run_pair_grad_merged(
         + [pl.BlockSpec(memory_space=pltpu.ANY)],
         scratch_shapes=[
             pltpu.VMEM((len(g.planes), g.sy, tile_rows, slab_w, c), plane_dtype),
-            pltpu.VMEM((len(g.planes), g.sy, tile_rows, slab_w, c), jnp.float32),
+            pltpu.VMEM((len(g.planes), g.sy, tile_rows, slab_w, c), dslab_dtype),
             pltpu.VMEM((sphase, g.sy, tile_rows, slab_wd, c), jnp.float32),
             pltpu.VMEM((tq, tw, ph), jnp.float32),
             pltpu.VMEM((tq, tw, ph), jnp.float32),

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ape_tpu.ops.msda_window_pallas_bwd import (
+    _run_pair_grad_merged,
     _run_pair_grad_offatt,
     _run_pair_grad_value,
 )
@@ -84,12 +85,19 @@ def run(hq, hv):
         ),
         (g_out, off, att), galts,
     )
+    t_merged = slope(
+        lambda v, o, a, gg: _run_pair_grad_merged(
+            v, o, a, gg, hq, wq, hv, wv, RADIUS, H, D, P
+        ),
+        (v_l, off, att, g_out), alts,
+    )
     print(
         f"  q{hq:4d}^2 <- v{hv:4d}^2 : prep {t_prep*1e3:6.2f}  "
-        f"offatt(incl prep) {t_offatt*1e3:6.2f}  value {t_value*1e3:6.2f} ms",
+        f"offatt(incl prep) {t_offatt*1e3:6.2f}  value {t_value*1e3:6.2f}  "
+        f"merged {t_merged*1e3:6.2f} ms",
         flush=True,
     )
-    return t_offatt + t_value
+    return t_merged
 
 
 if __name__ == "__main__":

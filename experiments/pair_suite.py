@@ -23,7 +23,7 @@ from ape_tpu.ops.msda_window_pallas_v2 import _run_pair_v2
 
 H, P, D = 8, 4, 32
 C = H * D
-RADIUS = 4
+RADIUS = int(os.environ.get("RADIUS", "4"))
 OFF_SCALE = float(os.environ.get("OFF_SCALE", "2.0"))
 
 
