@@ -48,7 +48,7 @@ from ape_tpu.layers.msda_module import MultiScaleDeformableAttention
 from ape_tpu.ops.box_ops import box_cxcywh_to_xyxy
 from ape_tpu.ops.misc import inverse_sigmoid
 from ape_tpu.ops.msda import level_start_index
-from ape_tpu.ops.nms import NEG_INF, batched_nms_mask
+from ape_tpu.ops.nms import NEG_INF, batched_nms_mask, nms_mask
 
 
 # ---------------------------------------------------------------------------
@@ -179,6 +179,7 @@ def deta_first_stage_select(
     level_ids = jnp.asarray(level_ids_array(spatial_shapes))  # (S,)
     starts, s = level_start_index(spatial_shapes)
     q_per_l = topk // num_levels
+    k_pad = min(pre_nms_topk, max(h * w for h, w in spatial_shapes))
 
     def one(logit, bx_unact, valid):
         # NO validity masking: the reference ranks by raw sigmoid scores
@@ -189,20 +190,37 @@ def deta_first_stage_select(
         score = jax.nn.sigmoid(logit)
         boxes = jnp.clip(box_cxcywh_to_xyxy(jax.nn.sigmoid(bx_unact)), 0.0, 1.0)
 
-        # per-level pre-NMS top-k, COMPACTED: the sequential greedy NMS must run
-        # over <= sum(min(pre_nms_topk, HW_l)) candidates, never all S tokens
+        # per-level pre-NMS top-k, COMPACTED: the greedy NMS must run over
+        # <= min(pre_nms_topk, HW_l) candidates per level, never all S tokens.
+        # Levels are padded to one fixed K (pad slots carry NEG_INF score and
+        # a global index of 0 — they never win any downstream top_k as long as
+        # there are >= topk real candidates, which every config guarantees).
         cand_idx = []
+        cand_valid = []
         for lvl, (h, w) in enumerate(spatial_shapes):
             k = min(pre_nms_topk, h * w)
             lvl_score = jax.lax.dynamic_slice_in_dim(score, starts[lvl], h * w)
             _, idx = jax.lax.top_k(lvl_score, k)
-            cand_idx.append(idx + starts[lvl])
-        cand_idx = jnp.concatenate(cand_idx)  # (C,) global indices
-        c_boxes = boxes[cand_idx]
-        c_score = score[cand_idx]
-        c_level = level_ids[cand_idx]
+            cand_idx.append(jnp.pad(idx + starts[lvl], (0, k_pad - k)))
+            cand_valid.append(
+                jnp.pad(jnp.ones((k,), bool), (0, k_pad - k))
+            )
+        cand_idx_l = jnp.stack(cand_idx)  # (L, K) global indices
+        cand_valid_l = jnp.stack(cand_valid)
+        c_boxes_l = boxes[cand_idx_l]
+        c_score_l = jnp.where(cand_valid_l, score[cand_idx_l], NEG_INF)
 
-        kept = batched_nms_mask(c_boxes, c_score, c_level, nms_thresh)
+        # boxes of different levels never suppress each other (the reference's
+        # batched_nms idxs=level): run the L level-NMS problems as one vmapped
+        # batch — sequential tile depth K/tile instead of (L*K)/tile
+        kept_l = jax.vmap(lambda bx, sc, va: nms_mask(bx, sc, nms_thresh, va))(
+            c_boxes_l, c_score_l, cand_valid_l
+        )
+
+        cand_idx = cand_idx_l.reshape(-1)
+        kept = kept_l.reshape(-1)
+        c_score = c_score_l.reshape(-1)
+        c_level = level_ids[cand_idx]
 
         # level-balanced selection among kept, by score order
         order = jnp.argsort(-jnp.where(kept, c_score, NEG_INF))

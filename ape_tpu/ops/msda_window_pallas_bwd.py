@@ -87,6 +87,14 @@ BWD_TAPV2 = os.environ.get("APE_MSDA_BWD_TAPV2", "0") != "0"
 # bandwidth-bound; the residual cost is per-tap issue/serialization (see
 # PERF.md round 5). Default OFF.
 BWD_DSLAB_BF16 = os.environ.get("APE_MSDA_BWD_DSLAB_BF16", "0") != "0"
+# Unconditional u-taps in the merged kernel: drop the @pl.when guard (a
+# branch = Mosaic scheduling barrier per tap) and rely on hats being
+# identically zero outside the active window. At realistic offsets the
+# per-tile bounds are near-full anyway, so predication saves little work;
+# this tests whether the barriers are what keeps the per-tap units from
+# pipelining. (Numerically a superset-exact variant: it also includes the
+# measure-zero z=+1 one-sided offset subgradient the bounds may clip.)
+BWD_NOPRED = os.environ.get("APE_MSDA_BWD_NOPRED", "0") != "0"
 
 
 def _dpos(z):
@@ -708,8 +716,7 @@ def _grad_kernel_merged(
             dy = v
         for u in range(g.win):
 
-            @pl.when((u >= u_lo) & (u <= u_hi))
-            def _():
+            def _tap(u=u):
                 plane_idx, a8 = g.u_to_plane[u]
                 hx = _hat(u - px)
                 # ---- d_off / d_att: s_h = <g, view>_D via one K=C dot ----
@@ -751,6 +758,16 @@ def _grad_kernel_merged(
                     dslab[plane_idx, phi_y, pl.ds(dy, rows_q), a8 : a8 + tw, :]
                     + contrib.astype(dslab.dtype)
                 )
+
+            if BWD_NOPRED:
+                # unconditional tap: hats (and _dpos at the open boundary) are
+                # identically zero outside the active window, so skipping the
+                # @pl.when guard changes nothing numerically — it removes a
+                # branch (a Mosaic scheduling barrier) per tap. Pays only when
+                # the per-tile bounds are near-full anyway (realistic offsets).
+                _tap()
+            else:
+                pl.when((u >= u_lo) & (u <= u_hi))(_tap)
 
         return 0
 

@@ -23,13 +23,16 @@ import numpy as np
 IMG = int(os.environ.get("BENCH_IMG", 512))
 
 
-def timeit(fn, *args, iters=3):
+def timeit(fn, *args, iters=3, variants=None):
+    """variants: list of first-arg replacements (pre-materialized) so repeated
+    dispatches differ — the remote tunnel caches identical dispatches."""
     out = fn(*args)
     jax.tree.map(lambda x: np.asarray(x.ravel()[:1]) if hasattr(x, "ravel") else x,
                  jax.tree_util.tree_leaves(out)[0])
+    variants = variants or [args[0]] * iters
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
+    for k in range(iters):
+        out = fn(variants[k % len(variants)], *args[1:])
     leaf = jax.tree_util.tree_leaves(out)[0]
     np.asarray(leaf.ravel()[:1])
     return (time.perf_counter() - t0) / iters
@@ -42,31 +45,35 @@ def main():
         default_weight_dict,
     )
 
-    model = build_ape_ti(img_size=IMG, num_queries=300, window_radius=4)
+    from ape_tpu.utils.bench_utils import rearm_offsets, synth_params
+
+    b = int(os.environ.get("BENCH_BATCH", 1))
+    model = build_ape_ti(
+        img_size=IMG, num_queries=300, window_radius=4,
+        use_act_checkpoint=IMG >= 1024,
+    )
     rng = np.random.RandomState(0)
     nt = 80
-    images = jnp.asarray(rng.randn(1, IMG, IMG, 3), jnp.float32)
-    sizes = jnp.asarray([[IMG, IMG]], jnp.int32)
-    text = jnp.asarray(rng.randn(1, nt, 1024), jnp.float32)
-    tvalid = jnp.ones((1, nt), bool)
+    images = jnp.asarray(rng.randn(b, IMG, IMG, 3), jnp.float32)
+    sizes = jnp.asarray([[IMG, IMG]] * b, jnp.int32)
+    text = jnp.asarray(rng.randn(b, nt, 1024), jnp.float32)
+    tvalid = jnp.ones((b, nt), bool)
     targets = {
-        "labels": jnp.asarray(rng.randint(0, nt, (1, 16)), jnp.int32),
-        "boxes": jnp.asarray(rng.uniform(0.2, 0.6, (1, 16, 4)), jnp.float32),
-        "valid": jnp.asarray(np.arange(16)[None] < 8),
-        "masks": jnp.asarray((rng.rand(1, 16, IMG // 4, IMG // 4) > 0.7), jnp.float32),
+        "labels": jnp.asarray(rng.randint(0, nt, (b, 16)), jnp.int32),
+        "boxes": jnp.asarray(rng.uniform(0.2, 0.6, (b, 16, 4)), jnp.float32),
+        "valid": jnp.asarray(np.broadcast_to(np.arange(16)[None] < 8, (b, 16))),
+        "masks": jnp.asarray((rng.rand(b, 16, IMG // 4, IMG // 4) > 0.7), jnp.float32),
     }
 
-    shapes = jax.eval_shape(
-        lambda r: model.init(r, images, sizes, text, tvalid), jax.random.PRNGKey(0)
-    )["params"]
-    prng = np.random.RandomState(0)
-    params = jax.tree.map(
-        lambda s: jnp.asarray(prng.normal(0, 0.02, s.shape).astype(s.dtype)), shapes
-    )
+    params = synth_params(model, (images, sizes, text, tvalid))
+    if os.environ.get("BENCH_REALISTIC", "1") != "0":
+        params = rearm_offsets(
+            params, off_scale=float(os.environ.get("BENCH_OFF_SCALE", "1.0"))
+        )
 
     # ---- model fwd+bwd with dummy scalar loss ----
     @jax.jit
-    def model_grad(params, images):
+    def model_grad(images, params):
         def loss(p):
             out = model.apply({"params": p}, images, sizes, text, tvalid)
             s = jnp.sum(out["pred_logits"]) + jnp.sum(out["pred_boxes"])
@@ -78,7 +85,10 @@ def main():
             return s
         return jax.grad(loss)(params)
 
-    t_model = timeit(model_grad, params, images)
+    img_variants = [images + k * 1e-3 for k in range(1, 4)]
+    for v in img_variants:
+        np.asarray(v[..., :1, :1])
+    t_model = timeit(model_grad, images, params, variants=img_variants)
     print(f"model fwd+bwd (dummy loss): {t_model*1e3:8.1f} ms", flush=True)
 
     # ---- criterion fwd+bwd w.r.t. model outputs ----
@@ -112,7 +122,13 @@ def main():
         return jax.grad(loss)(diffable)
 
     try:
-        t_crit = timeit(crit_grad, diffable)
+        d_variants = [
+            {**diffable, "pred_logits": diffable["pred_logits"] + k * 1e-3}
+            for k in range(1, 4)
+        ]
+        for v in d_variants:
+            np.asarray(v["pred_logits"][..., :1])
+        t_crit = timeit(crit_grad, diffable, variants=d_variants)
         print(f"criterion fwd+bwd         : {t_crit*1e3:8.1f} ms", flush=True)
     except Exception as e:
         print(f"criterion part failed: {type(e).__name__}: {str(e)[:300]}", flush=True)

@@ -123,6 +123,52 @@ def test_gen_output_proposals_masks_invalid(rng):
     assert np.asarray(out_mem)[0, 3].sum() == 0
 
 
+def test_deta_first_stage_select_matches_flat_nms(rng):
+    """The per-level vmapped NMS (round 5) must reproduce the flat
+    class-offset batched NMS selection exactly (levels never suppress each
+    other, so the two formulations are the same greedy problem)."""
+    from ape_tpu.ops.box_ops import box_cxcywh_to_xyxy
+    from ape_tpu.ops.nms import NEG_INF, batched_nms_mask
+    from ape_tpu.ops.msda import level_start_index
+
+    b, topk, pre_nms_topk, nms_thresh = 2, 6, 10, 0.9
+    logits = jnp.asarray(rng.randn(b, S).astype(np.float32))
+    unact = jnp.asarray(rng.randn(b, S, 4).astype(np.float32))
+    ok = jnp.ones((b, S), bool)
+    level_ids = np.concatenate([np.full(h * w, i) for i, (h, w) in enumerate(SS)])
+    starts, _ = level_start_index(SS)
+
+    def flat_reference(logit, bx_unact):
+        score = jax.nn.sigmoid(logit)
+        boxes = jnp.clip(box_cxcywh_to_xyxy(jax.nn.sigmoid(bx_unact)), 0.0, 1.0)
+        cand_idx = []
+        for lvl, (h, w) in enumerate(SS):
+            k = min(pre_nms_topk, h * w)
+            lvl_score = jax.lax.dynamic_slice_in_dim(score, starts[lvl], h * w)
+            _, idx = jax.lax.top_k(lvl_score, k)
+            cand_idx.append(idx + starts[lvl])
+        cand_idx = jnp.concatenate(cand_idx)
+        c_boxes, c_score = boxes[cand_idx], score[cand_idx]
+        c_level = jnp.asarray(level_ids)[cand_idx]
+        kept = batched_nms_mask(c_boxes, c_score, c_level, nms_thresh)
+        order = jnp.argsort(-jnp.where(kept, c_score, NEG_INF))
+        lvl_sorted, kept_sorted = c_level[order], kept[order]
+        onehot = jax.nn.one_hot(lvl_sorted, len(SS), dtype=jnp.int32)
+        rank = jnp.cumsum(onehot * kept_sorted[:, None].astype(jnp.int32), 0)
+        my_rank = jnp.take_along_axis(rank, lvl_sorted[:, None], 1)[:, 0]
+        balanced_sorted = kept_sorted & (my_rank <= topk // len(SS))
+        balanced = jnp.zeros_like(kept).at[order].set(balanced_sorted)
+        prio = balanced.astype(jnp.float32) * 4.0 + kept.astype(jnp.float32) * 2.0 + c_score
+        _, sel_c = jax.lax.top_k(prio, topk)
+        return cand_idx[sel_c]
+
+    want = np.asarray(jax.vmap(flat_reference)(logits, unact))
+    got = np.asarray(
+        deta_first_stage_select(logits, unact, ok, SS, topk, pre_nms_topk, nms_thresh)
+    )
+    np.testing.assert_array_equal(np.sort(got, -1), np.sort(want, -1))
+
+
 def test_deta_first_stage_select_level_balance(rng):
     # well-separated boxes so NMS keeps everything -> selection should be
     # level-balanced topk by score
