@@ -90,11 +90,25 @@ BWD_DSLAB_BF16 = os.environ.get("APE_MSDA_BWD_DSLAB_BF16", "0") != "0"
 # Unconditional u-taps in the merged kernel: drop the @pl.when guard (a
 # branch = Mosaic scheduling barrier per tap) and rely on hats being
 # identically zero outside the active window. At realistic offsets the
-# per-tile bounds are near-full anyway, so predication saves little work;
-# this tests whether the barriers are what keeps the per-tap units from
-# pipelining. (Numerically a superset-exact variant: it also includes the
-# measure-zero z=+1 one-sided offset subgradient the bounds may clip.)
-BWD_NOPRED = os.environ.get("APE_MSDA_BWD_NOPRED", "0") != "0"
+# per-tile bounds are near-full anyway, so predication saves little work.
+# (Numerically a superset-exact variant: it also includes the measure-zero
+# z=+1 one-sided offset subgradient the bounds may clip.)
+# Round-5 chip A/B (encoder race, OFF_SCALE=2): WINS, 78.0 vs 84.0 ms/layer
+# -> default ON. Tiny-offset regimes lose the u-skip (the guard saved ~3x
+# there); set 0 if training offsets are known-small.
+BWD_NOPRED = os.environ.get("APE_MSDA_BWD_NOPRED", "1") != "0"
+# With NOPRED: also unroll the v loop statically over the full window
+# (dynamic fori_loop -> straight-line code, win^2 unconditional taps). Trades
+# wasted work at tiny offsets for a branch- and loop-free schedule.
+# Chip A/B: 77.0 ms/layer (~1 ms over NOPRED alone) — not worth losing the
+# v-skip; default OFF.
+BWD_STATICV = os.environ.get("APE_MSDA_BWD_STATICV", "0") != "0"
+# Split the dox/doy/datt accumulators ACC_WAYS-ways by u parity (summed once
+# at the end): consecutive taps then RMW different buffers, halving/quartering
+# the read-after-write chain the per-tap accumulates serialize on.
+# Chip A/B: 2-way 78.6, 4-way 84.8 (vs 78.0) — the acc RMW chain is not the
+# binding dependency; default 1.
+BWD_ACC_WAYS = int(os.environ.get("APE_MSDA_BWD_ACC_WAYS", "1"))
 
 
 def _dpos(z):
@@ -702,9 +716,10 @@ def _grad_kernel_merged(
     u_hi = bounds_ref[b, ty, tx, 1]
 
     gt_bf = gt.astype(jnp.bfloat16)
+    ways = BWD_ACC_WAYS
 
     def v_body(v, _):
-        vf = v.astype(jnp.float32)
+        vf = jnp.float32(v) if isinstance(v, int) else v.astype(jnp.float32)
         hy = _hat(vf - py)
         dhy = _dpos(vf - py)
         ahy = att * hy
@@ -741,9 +756,10 @@ def _grad_kernel_merged(
                     preferred_element_type=jnp.float32,
                 )
                 sa = s * att
-                datt_acc[...] = datt_acc[...] + s * (hy * hx)
-                dox_acc[...] = dox_acc[...] + sa * (hy * _dpos(u - px))
-                doy_acc[...] = doy_acc[...] + sa * (dhy * hx)
+                wy = u % ways
+                datt_acc[wy] = datt_acc[wy] + s * (hy * hx)
+                dox_acc[wy] = dox_acc[wy] + sa * (hy * _dpos(u - px))
+                doy_acc[wy] = doy_acc[wy] + sa * (dhy * hx)
                 # ---- d_value: w (x) g into the plane d-slab ----
                 whp = ahy * hx
                 w = jax.lax.dot_general(
@@ -765,16 +781,21 @@ def _grad_kernel_merged(
                 # @pl.when guard changes nothing numerically — it removes a
                 # branch (a Mosaic scheduling barrier) per tap. Pays only when
                 # the per-tile bounds are near-full anyway (realistic offsets).
+                # Chip A/B (r5, OFF_SCALE=2 race): 78.0 vs 84.0 ms/layer.
                 _tap()
             else:
                 pl.when((u >= u_lo) & (u <= u_hi))(_tap)
 
         return 0
 
-    jax.lax.fori_loop(v_lo, v_hi + 1, v_body, 0)
-    dox_ref[0] = dox_acc[...] * mx
-    doy_ref[0] = doy_acc[...] * my
-    datt_ref[0] = datt_acc[...]
+    if BWD_NOPRED and BWD_STATICV:
+        for v in range(g.win):
+            v_body(v, 0)
+    else:
+        jax.lax.fori_loop(v_lo, v_hi + 1, v_body, 0)
+    dox_ref[0] = dox_acc[...].sum(axis=0) * mx
+    doy_ref[0] = doy_acc[...].sum(axis=0) * my
+    datt_ref[0] = datt_acc[...].sum(axis=0)
 
     # fold the plane d-slabs into vp coordinates: one static (sub-8) shifted
     # add per plane per tile — the unaligned-slice relayout the per-tap path
@@ -818,7 +839,7 @@ def _run_pair_grad_merged(
             slab_b += sphase * g.sy * t_rows * sl_wd * c * pb  # vslab
         dslab_b = n * g.sy * t_rows * sl_w * c * dslab_bytes
         dacc_b = sphase * g.sy * t_rows * sl_wd * c * 4
-        accs = 3 * tq * tw * heads * num_points * 4
+        accs = 3 * BWD_ACC_WAYS * tq * tw * heads * num_points * 4
         blocks = tq * tw * (4 * 32 * 2 + 3 * 32 * 2 + 2 * c) * 4
         stack = 3 * tq * tw * c * 4
         return slab_b + dslab_b + dacc_b + accs + blocks + stack + 512 * 1024
@@ -909,9 +930,9 @@ def _run_pair_grad_merged(
             pltpu.VMEM((len(g.planes), g.sy, tile_rows, slab_w, c), plane_dtype),
             pltpu.VMEM((len(g.planes), g.sy, tile_rows, slab_w, c), dslab_dtype),
             pltpu.VMEM((sphase, g.sy, tile_rows, slab_wd, c), jnp.float32),
-            pltpu.VMEM((tq, tw, ph), jnp.float32),
-            pltpu.VMEM((tq, tw, ph), jnp.float32),
-            pltpu.VMEM((tq, tw, ph), jnp.float32),
+            pltpu.VMEM((BWD_ACC_WAYS, tq, tw, ph), jnp.float32),
+            pltpu.VMEM((BWD_ACC_WAYS, tq, tw, ph), jnp.float32),
+            pltpu.VMEM((BWD_ACC_WAYS, tq, tw, ph), jnp.float32),
         ]
         + (
             [

@@ -19,6 +19,43 @@ from __future__ import annotations
 
 import numpy as np
 
+# TPU v5e public spec: bf16 peak and HBM bandwidth per chip.
+V5E_PEAK_BF16_FLOPS = 197e12
+V5E_HBM_BYTES_S = 819e9
+
+
+def aot_compile_with_cost(fn, *args, **jit_kwargs):
+    """jit-compile fn AOT; return (compiled_callable, cost_dict).
+
+    One compile serves both timing and XLA cost analysis (flops / bytes
+    accessed — custom calls, i.e. Pallas kernels, count as zero flops, the
+    same convention as the reference's fvcore protocol which cannot see
+    inside its CUDA op).
+    """
+    import jax
+
+    lowered = jax.jit(fn, **jit_kwargs).lower(*args)
+    compiled = lowered.compile()
+    try:
+        cost = compiled.cost_analysis() or {}
+    except Exception:
+        cost = {}
+    return compiled, cost
+
+
+def mfu_fields(cost, img_per_s, batch=1):
+    """MFU/bandwidth-utilization JSON fields from a cost dict + measured rate."""
+    out = {}
+    flops = float(cost.get("flops", 0.0)) / max(batch, 1)
+    bytes_acc = float(cost.get("bytes accessed", 0.0)) / max(batch, 1)
+    if flops > 0:
+        out["xla_gflops_per_img"] = round(flops / 1e9, 1)
+        out["mfu_pct"] = round(100 * flops * img_per_s / V5E_PEAK_BF16_FLOPS, 2)
+    if bytes_acc > 0:
+        out["hbm_gb_per_img"] = round(bytes_acc / 1e9, 2)
+        out["hbm_util_pct"] = round(100 * bytes_acc * img_per_s / V5E_HBM_BYTES_S, 1)
+    return out
+
 
 def synth_params(model, example_args, seed=0):
     """Parameters with the right shapes/dtypes via eval_shape (no compile)."""

@@ -115,12 +115,20 @@ def main():
             params, off_scale=float(os.environ.get("BENCH_OFF_SCALE", "1.0"))
         )
 
-    @jax.jit
+    from ape_tpu.utils.bench_utils import aot_compile_with_cost, mfu_fields
+
     def fwd(params, images, image_sizes, text, text_valid):
         out = model.apply({"params": params}, images, image_sizes, text, text_valid)
         return out["pred_logits"], out["pred_boxes"], out.get("pred_masks")
 
-    # warm up / compile (incl. the eager perturbation add used in the loop)
+    # one AOT compile serves both the timed loop and the XLA cost analysis
+    # (FLOPs/MFU fields — Pallas custom calls count zero, the same convention
+    # as the reference's fvcore protocol)
+    fwd, cost = aot_compile_with_cost(
+        fwd, params, images, image_sizes, text, text_valid
+    )
+
+    # warm up (incl. the eager perturbation add used in the loop)
     out = fwd(params, images, image_sizes, text, text_valid)
     jax.tree.map(lambda x: np.asarray(x[..., :1]), out)
     np.asarray((images + 0.5)[..., :1, :1])
@@ -151,6 +159,7 @@ def main():
         "protocol": protocol,
         "baseline_img_per_s": baseline,
     }
+    line.update(mfu_fields(cost, img_per_s, batch=bsz))
 
     # record this run; attach the latest recorded full/train/flagship numbers
     # to the headline line (round-4 verdict: report both modes every round)
@@ -163,6 +172,7 @@ def main():
                 "vs_baseline": round(img_per_s / baseline, 3),
                 "protocol": protocol,
                 "baseline_img_per_s": baseline,
+                **mfu_fields(cost, img_per_s, batch=bsz),
             },
         )
     if os.environ.get("BENCH_EXTRA", "1") != "0" and os.path.exists(RESULTS_PATH):

@@ -71,10 +71,14 @@ def main():
         )
     crit = DeformableCriterion(num_classes=nt, weight_dict=default_weight_dict(),
                                num_queries=300, losses=("class", "boxes", "masks"))
+    from ape_tpu.utils.bench_utils import aot_compile_with_cost, mfu_fields
+
     tx = optax.chain(optax.clip_by_global_norm(0.1), optax.adamw(2e-4))
     state = create_train_state(params, tx)
-    step = jax.jit(make_train_step(model, crit, tx), donate_argnums=(0,))
     key = jax.random.PRNGKey(0)
+    step, cost = aot_compile_with_cost(
+        make_train_step(model, crit, tx), state, batch, key, donate_argnums=(0,)
+    )
     state, m = step(state, batch, key)
     print("first step loss:", float(m["total_loss"]), flush=True)
     t0 = time.perf_counter()
@@ -92,6 +96,7 @@ def main():
         "protocol": "train-full-5scale+mask"
         + ("+realistic-offsets" if realistic else "+tiny-offsets"),
     }
+    line.update(mfu_fields(cost, img_s, batch=BATCH))
     print(json.dumps(line))
     if IMG == 1024 and BATCH == 2 and realistic:
         try:
@@ -105,6 +110,7 @@ def main():
                     "vs_baseline": round(img_s / A100_TRAIN_EST_IMG_S, 3),
                     "protocol": line["protocol"],
                     "baseline_img_per_s": A100_TRAIN_EST_IMG_S,
+                    **mfu_fields(cost, img_s, batch=BATCH),
                 },
             )
         except Exception as e:
