@@ -158,6 +158,12 @@ def main():
         "vs_baseline": round(img_per_s / baseline, 3),
         "protocol": protocol,
         "baseline_img_per_s": baseline,
+        # vs_baseline is NOT comparable to rounds 1-4, which divided every
+        # mode by one undocumented constant (8.0); round 5 derived per-mode
+        # constants from a published anchor (BASELINE.md "Derivation of the
+        # A100 estimates"). The north-star metric names BOTH models: see the
+        # l_d_* extra fields for the flagship (3.7x protocol / 4.7x full).
+        "baseline_provenance": "derived-r5:BASELINE.md",
     }
     line.update(mfu_fields(cost, img_per_s, batch=bsz))
 

@@ -7,6 +7,8 @@ bf16 appears in the kernels' MXU contractions and value planes, so tolerances
 are relative ~1e-2.
 """
 
+import functools
+
 import numpy as np
 import pytest
 
@@ -17,6 +19,25 @@ from ape_tpu.ops.msda_dispatch import _exact_equiv
 from ape_tpu.ops.msda_window_pallas_bwd import ms_deform_attn_window_pallas_bwd
 
 pytestmark = pytest.mark.slow
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted(shapes, radius):
+    """One traced callable per geometry: the two off_scale parametrizations
+    (and the clip test) share shapes, so jit caching cuts the interpret-mode
+    trace cost from 3x to 1x per geometry."""
+    bwd = jax.jit(
+        lambda v, o, a, g: ms_deform_attn_window_pallas_bwd(
+            v, shapes, o, a, g, radius=radius, interpret=True
+        )
+    )
+
+    @jax.jit
+    def ref(v, o, a, g):
+        _, vjp = jax.vjp(lambda vv, oo, aa: _exact_equiv(vv, shapes, oo, aa, radius), v, o, a)
+        return vjp(g)
+
+    return bwd, ref
 
 # Budget note: interpret-mode cost is dominated by per-pair-geometry tracing
 # (O(win^2) tap graphs x pairs). The off_scale params and the clip test share
@@ -43,14 +64,9 @@ def _inputs(seed, off_scale):
 def test_bwd_matches_exact_vjp(off_scale):
     value, off, att, g = _inputs(0, off_scale)
 
-    _, vjp = jax.vjp(
-        lambda v, o, a: _exact_equiv(v, SHAPES, o, a, RADIUS), value, off, att
-    )
-    dv_ref, do_ref, da_ref = vjp(g)
-
-    dv, do, da = ms_deform_attn_window_pallas_bwd(
-        value, SHAPES, off, att, g, radius=RADIUS, interpret=True
-    )
+    bwd, ref = _jitted(SHAPES, RADIUS)
+    dv_ref, do_ref, da_ref = ref(value, off, att, g)
+    dv, do, da = bwd(value, off, att, g)
 
     for name, a, r in (("d_value", dv, dv_ref), ("d_off", do, do_ref), ("d_att", da, da_ref)):
         scale = max(1.0, float(jnp.abs(r).max()))
@@ -66,9 +82,8 @@ def test_bwd_clip_masks_gradients():
     off = off.at[0, 5, 2, 0, 1, 0].set(RADIUS + 3.0)  # x clipped
     off = off.at[0, 7, 1, 1, 0, 1].set(-(RADIUS + 2.0))  # y clipped
 
-    dv, do, da = ms_deform_attn_window_pallas_bwd(
-        value, SHAPES, off, att, g, radius=RADIUS, interpret=True
-    )
+    bwd, _ = _jitted(SHAPES, RADIUS)
+    dv, do, da = bwd(value, off, att, g)
     assert float(do[0, 5, 2, 0, 1, 0]) == 0.0
     assert float(do[0, 7, 1, 1, 0, 1]) == 0.0
 
@@ -108,13 +123,9 @@ def test_bwd_batch2_matches_exact_vjp():
     att = jnp.asarray(rng.rand(2, S, H, len(SHAPES_3L), P), jnp.float32)
     g = jnp.asarray(rng.randn(2, S, H * D), jnp.float32)
 
-    _, vjp = jax.vjp(
-        lambda v, o, a: _exact_equiv(v, SHAPES_3L, o, a, RADIUS), value, off, att
-    )
-    dv_ref, do_ref, da_ref = vjp(g)
-    dv, do, da = ms_deform_attn_window_pallas_bwd(
-        value, SHAPES_3L, off, att, g, radius=RADIUS, interpret=True
-    )
+    bwd, ref = _jitted(SHAPES_3L, RADIUS)
+    dv_ref, do_ref, da_ref = ref(value, off, att, g)
+    dv, do, da = bwd(value, off, att, g)
     for name, a, r in (("d_value", dv, dv_ref), ("d_off", do, do_ref), ("d_att", da, da_ref)):
         scale = max(1.0, float(jnp.abs(r).max()))
         np.testing.assert_allclose(
