@@ -26,8 +26,10 @@ def main():
     n_enc = int(os.environ.get("N_ENC", 0))
     n_dec = int(os.environ.get("N_DEC", 6))
     mask_on = os.environ.get("MASK_ON", "1") != "0"
+    protocol = os.environ.get("PROTOCOL", "0") != "0"
     model = build_ape_ti(
-        img_size=IMG, num_queries=900, window_radius=4, dtype=DTYPE, mask_on=mask_on
+        img_size=IMG, num_queries=900, window_radius=4, dtype=DTYPE, mask_on=mask_on,
+        scale_factors=(2.0, 1.0, 0.5) if protocol else (4.0, 2.0, 1.0, 0.5),
     )
     model = model.copy(
         transformer=model.transformer.copy(
@@ -41,13 +43,11 @@ def main():
     text = jnp.asarray(rng.randn(1, 80, 1024), jnp.float32)
     tvalid = jnp.ones((1, 80), bool)
 
-    shapes = jax.eval_shape(
-        lambda r: model.init(r, images, sizes, text, tvalid), jax.random.PRNGKey(0)
-    )["params"]
-    prng = np.random.RandomState(0)
-    params = jax.tree.map(
-        lambda s: jnp.asarray(prng.normal(0, 0.02, s.shape).astype(s.dtype)), shapes
-    )
+    from ape_tpu.utils.bench_utils import rearm_offsets, synth_params
+
+    params = synth_params(model, (images, sizes, text, tvalid))
+    if os.environ.get("BENCH_REALISTIC", "1") != "0":
+        params = rearm_offsets(params)
 
     @jax.jit
     def fwd(params, images):
@@ -63,8 +63,8 @@ def main():
     np.asarray(out[0][..., :1])
     dt = (time.perf_counter() - t0) / 8
     print(
-        f"full forward enc={n_enc} dec={max(n_dec,1)} mask={int(mask_on)}: "
-        f"{dt*1e3:.1f} ms"
+        f"full forward enc={n_enc} dec={max(n_dec,1)} mask={int(mask_on)} "
+        f"protocol={int(protocol)}: {dt*1e3:.1f} ms"
     )
 
 

@@ -13,7 +13,10 @@ traced once.
 
 import pytest
 
-pytestmark = pytest.mark.slow
+# heavy tier: the v6 kernel is a documented negative result living in
+# experiments/ (chip A/B loses ~1.6x to v2, PERF.md r4) — its parity guard
+# does not need to run in the slow-tier CI window
+pytestmark = [pytest.mark.slow, pytest.mark.heavy]
 
 import numpy as np
 
