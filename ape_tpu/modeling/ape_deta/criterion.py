@@ -359,6 +359,15 @@ class DeformableCriterion:
         class_valid: Optional[jnp.ndarray] = None,  # (B, C) text/vocab validity
     ) -> Dict[str, jnp.ndarray]:
         r_match, r_fed, r_s1, r_mask = jax.random.split(rng, 4)
+        # losses always compute in f32 even when the model runs bf16 compute
+        # (AMP discipline — the reference's fp16 AMP likewise keeps the loss
+        # in f32 through GradScaler; focal/GIoU in bf16 lose mantissa)
+        outputs = jax.tree.map(
+            lambda x: x.astype(jnp.float32)
+            if isinstance(x, jnp.ndarray) and x.dtype == jnp.bfloat16
+            else x,
+            outputs,
+        )
         if class_valid is None:
             class_valid = jnp.ones(outputs["pred_logits"].shape[::2], bool)
 

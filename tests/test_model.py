@@ -25,11 +25,21 @@ def make_inputs(rng, b=1, t=4):
     )
 
 
-def test_ape_deta_forward(rng):
+@pytest.fixture(scope="module")
+def tiny_forward():
+    """One init+apply of the tiny model shared by the forward-shape and
+    criterion tests (each full trace costs ~20 s of CPU interpret time;
+    the inputs replicate the function-scoped rng fixture's seed-0 stream)."""
+    rng = np.random.RandomState(0)
     model = tiny_model()
-    images, sizes, text, tvalid = make_inputs(rng)
-    params = model.init(jax.random.PRNGKey(0), images, sizes, text, tvalid)
-    out = model.apply(params, images, sizes, text, tvalid)
+    inputs = make_inputs(rng)
+    params = model.init(jax.random.PRNGKey(0), *inputs)
+    out = model.apply(params, *inputs)
+    return model, inputs, params, out
+
+
+def test_ape_deta_forward(tiny_forward):
+    _, _, _, out = tiny_forward
     assert out["pred_logits"].shape == (1, 16, 4)
     assert out["pred_boxes"].shape == (1, 16, 4)
     assert out["pred_masks"].shape == (1, 16, 16, 16)
@@ -58,18 +68,13 @@ def test_closed_vocab_learned_bank(rng):
     )
 
 
-def test_criterion_on_model_outputs(rng):
-    import optax
-
+def test_criterion_on_model_outputs(rng, tiny_forward):
     from ape_tpu.modeling.ape_deta.criterion import (
         DeformableCriterion,
         default_weight_dict,
     )
 
-    model = tiny_model()
-    images, sizes, text, tvalid = make_inputs(rng)
-    params = model.init(jax.random.PRNGKey(0), images, sizes, text, tvalid)
-    out = model.apply(params, images, sizes, text, tvalid)
+    _, _, _, out = tiny_forward
     targets = {
         "labels": jnp.asarray([[0, 1, 2, 0]], jnp.int32),
         "boxes": jnp.asarray(

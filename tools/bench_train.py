@@ -27,8 +27,13 @@ import numpy as np
 IMG = int(os.environ.get("BENCH_IMG", 1024))
 BATCH = int(os.environ.get("BENCH_BATCH", 2))
 ITERS = int(os.environ.get("BENCH_ITERS", 3))
-# full-model A100 inference estimate / 3 (see BASELINE.md derivation)
-A100_TRAIN_EST_IMG_S = 1.4
+# Matmul/activation compute dtype. The reference trains fp16 AMP (COCO 12ep
+# base config amp.enabled, train_net.py grad scaler); bf16 compute with f32
+# params/optimizer is the TPU equivalent. float32 kept selectable for A/B.
+DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
+# full-model A100 inference estimate / 3 per model (see BASELINE.md derivation)
+A100_TRAIN_EST = {"ti": 1.4, "l_d": 0.19}
+A100_TRAIN_EST_IMG_S = A100_TRAIN_EST[os.environ.get("BENCH_MODEL", "ti")]
 
 
 def main():
@@ -36,17 +41,22 @@ def main():
     import jax.numpy as jnp
     import optax
 
-    from ape_tpu.modeling.build import build_ape_ti
+    from ape_tpu.modeling.build import build_ape_l_d, build_ape_ti
     from ape_tpu.modeling.ape_deta.criterion import DeformableCriterion, default_weight_dict
     from ape_tpu.engine.train_step import create_train_state, make_train_step
     from ape_tpu.utils.bench_utils import rearm_offsets, synth_params
 
-    model = build_ape_ti(
+    model_name = os.environ.get("BENCH_MODEL", "ti")
+    build = {"ti": build_ape_ti, "l_d": build_ape_l_d}[model_name]
+    model = build(
         img_size=IMG, num_queries=300, window_radius=4,
         use_act_checkpoint=IMG >= 1024,  # 1024^2 training OOMs HBM without remat
+        dtype=jnp.dtype(DTYPE),
     )
     rng = np.random.RandomState(0)
-    nt = 80
+    # ti trains with the COCO-class 80-text vocabulary; the flagship trains
+    # against the LVIS 1203-text bank through the VL-fusion encoder
+    nt = int(os.environ.get("BENCH_TEXT", 1203 if model_name == "l_d" else 80))
     b = BATCH
     batch = {
         "images": jnp.asarray(rng.randn(b, IMG, IMG, 3), jnp.float32),
@@ -89,22 +99,24 @@ def main():
     dt = (time.perf_counter() - t0) / ITERS
     img_s = BATCH / dt
     line = {
-        "metric": f"APE-Ti training images/sec/chip @ {IMG}x{IMG} batch {BATCH}",
+        "metric": f"{'APE-L_D' if model_name == 'l_d' else 'APE-Ti'} training "
+        f"images/sec/chip @ {IMG}x{IMG} batch {BATCH}",
         "value": round(img_s, 3), "unit": "img/s",
         "s_per_step": round(dt, 3),
         "vs_baseline": round(img_s / A100_TRAIN_EST_IMG_S, 3),
         "protocol": "train-full-5scale+mask"
-        + ("+realistic-offsets" if realistic else "+tiny-offsets"),
+        + ("+realistic-offsets" if realistic else "+tiny-offsets")
+        + f"+{DTYPE}",
     }
     line.update(mfu_fields(cost, img_s, batch=BATCH))
     print(json.dumps(line))
-    if IMG == 1024 and BATCH == 2 and realistic:
+    if IMG == 1024 and realistic:
         try:
             sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
             import bench
 
             bench._record(
-                "ti-train",
+                f"{model_name}-train" + ("" if BATCH == 2 else f"-b{BATCH}"),
                 {
                     "img_per_s": round(img_s, 3),
                     "vs_baseline": round(img_s / A100_TRAIN_EST_IMG_S, 3),
