@@ -333,13 +333,19 @@ class DeformableTransformerEncoder(nn.Module):
         grid_corrections,
     ):
         layer_cls = EncoderLayer
+        vl_cls = BiAttentionBlock
         if self.use_act_checkpoint:
             layer_cls = nn.remat(
                 EncoderLayer, static_argnums=(4,), policy=_remat_policy()
             )
+            # the reference checkpoints the VL fusion too
+            # (vision_language_fusion.py:7-53 checkpoint_wrapper): without it,
+            # six layers of (S x T x heads) bi-attention temps at 87k tokens
+            # stay live for the backward — flagship training OOMs HBM
+            vl_cls = nn.remat(BiAttentionBlock)
         for i in range(self.num_layers):
             if self.vl_fusion and text is not None:
-                x, text = BiAttentionBlock(
+                x, text = vl_cls(
                     v_dim=self.embed_dim,
                     l_dim=self.embed_dim_language,
                     embed_dim=self.vl_embed_dim,
@@ -347,7 +353,7 @@ class DeformableTransformerEncoder(nn.Module):
                     init_values=self.vl_init_values,
                     dtype=self.dtype,
                     name=f"vl_layers_{i}",
-                )(x, text, valid_v=valid_mask, valid_l=text_valid)
+                )(x, text, valid_mask, text_valid)
             x = layer_cls(
                 embed_dim=self.embed_dim,
                 num_heads=self.num_heads,

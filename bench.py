@@ -187,7 +187,7 @@ def main():
                 db = json.load(f)
         except Exception:
             db = {}
-        for other in ("ti-full", "ti-train", "l_d-protocol", "l_d-full"):
+        for other in ("ti-full", "ti-train", "l_d-protocol", "l_d-full", "l_d-train-b1"):
             if other != key and other in db:
                 field = other.replace("-", "_")
                 line[f"{field}_img_per_s"] = db[other].get("img_per_s")

@@ -98,6 +98,51 @@ def test_transformer_vl_fusion(rng):
     assert np.isfinite(np.asarray(out["text"])).all()
 
 
+def test_vl_fusion_remat_grads_match(rng):
+    """use_act_checkpoint wraps the VL fusion block in nn.remat (round 5 —
+    the flagship OOMed HBM with six layers of bi-attention temps live).
+    Gradients through the remat encoder must equal the plain encoder's."""
+    from ape_tpu.ops.msda import level_start_index
+
+    def build(remat):
+        return DeformableTransformerEncoder(
+            embed_dim=C, num_heads=2, feedforward_dim=32, num_layers=2,
+            num_feature_levels=3, window_radius=2, vl_fusion=True,
+            vl_embed_dim=32, vl_num_heads=2, embed_dim_language=16,
+            use_act_checkpoint=remat,
+        )
+
+    x = jnp.asarray(rng.randn(1, S, C).astype(np.float32))
+    pos = jnp.asarray(rng.randn(1, S, C).astype(np.float32))
+    valid = jnp.ones((1, S), bool)
+    text = jnp.asarray(rng.randn(1, 5, 16).astype(np.float32))
+    tvalid = jnp.ones((1, 5), bool)
+    vr = jnp.ones((1, 3, 2))
+    refp = encoder_reference_points(SS, vr)
+    from ape_tpu.modeling.ape_deta.transformer import encoder_grid_corrections
+
+    gcorr = encoder_grid_corrections(SS, vr)
+
+    params = build(False).init(
+        jax.random.PRNGKey(0), x, pos, valid, text, tvalid, SS, refp, gcorr
+    )
+
+    def loss(p, remat):
+        out_x, out_t = build(remat).apply(p, x, pos, valid, text, tvalid, SS, refp, gcorr)
+        return jnp.sum(out_x**2) + jnp.sum(out_t**2)
+
+    g_plain = jax.grad(lambda p: loss(p, False))(params)
+    g_remat = jax.grad(lambda p: loss(p, True))(params)
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g_plain),
+        jax.tree_util.tree_leaves_with_path(g_remat),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5,
+            err_msg="/".join(str(getattr(k, "key", k)) for k in pa),
+        )
+
+
 def test_valid_ratios(rng):
     masks = [jnp.asarray(np.ones((1, h, w), bool)) for h, w in SS]
     vr = valid_ratios_from_masks(masks)
