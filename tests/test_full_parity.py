@@ -12,7 +12,11 @@ refinement) -> VisionLanguageAlign heads -> MaskDINO mask head.
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.slow
+# heavy tier (round 5): torch-oracle RELEASE gate — runs in `-m heavy`
+# alongside the e2e train loops. The slow tier keeps the pure-JAX
+# kernel/model guards that protect day-to-day edits; these parity
+# suites re-run whenever modeling code ships.
+pytestmark = [pytest.mark.slow, pytest.mark.heavy]
 
 from tests.parity_harness import (
     DIMS,

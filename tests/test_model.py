@@ -27,9 +27,12 @@ def make_inputs(rng, b=1, t=4):
 
 @pytest.fixture(scope="module")
 def tiny_forward():
-    """One init+apply of the tiny model shared by the forward-shape and
+    """One forward of the tiny model shared by the forward-shape and
     criterion tests (each full trace costs ~20 s of CPU interpret time;
-    the inputs replicate the function-scoped rng fixture's seed-0 stream)."""
+    the inputs replicate the function-scoped rng fixture's seed-0 stream).
+    (Measured: shape-synthesized params via eval_shape cost the same as a
+    real init — tracing dominates on the CPU interpret path — so the real
+    init stays for its initializer coverage.)"""
     rng = np.random.RandomState(0)
     model = tiny_model()
     inputs = make_inputs(rng)
@@ -114,6 +117,18 @@ def test_single_stage_detr_forward(rng):
         model, criterion = objs["model"], objs["criterion"]
 
         images, sizes, text, tvalid = make_inputs(rng)
+        if not refine:
+            # shapes-only for the no-refine leg (eval_shape: no execution) —
+            # the refine=True leg below runs the numeric/finite checks
+            shapes = jax.eval_shape(
+                lambda: model.init(jax.random.PRNGKey(0), images, sizes, text, tvalid)
+            )
+            names = {
+                "/".join(map(str, path))
+                for path, _ in jax.tree_util.tree_leaves_with_path(shapes)
+            }
+            assert any("query_embed" in n for n in names)
+            continue
         params = model.init(jax.random.PRNGKey(0), images, sizes, text, tvalid)
         out = model.apply(params, images, sizes, text, tvalid)
         assert out["pred_logits"].shape == (1, 16, 8)

@@ -90,18 +90,26 @@ def test_bwd_clip_masks_gradients():
 
 def test_bwd_vp_input_mode():
     """APE_MSDA_BWD_VP: the merged kernel fed one unshifted vp slab (in-VMEM
-    shifted plane builds) must match the pre-shifted-planes feed exactly."""
+    shifted plane builds) must match the pre-shifted-planes feed exactly.
+    Smallest geometry with the same pair classes (same-res/inv2/sx2): this
+    test costs two full interpret traces, one per input mode."""
     import ape_tpu.ops.msda_window_pallas_bwd as bwd
 
-    value, off, att, g = _inputs(5, 0.6)
+    shapes = ((8, 8), (4, 4))
+    rng = np.random.RandomState(5)
+    s = sum(h * w for h, w in shapes)
+    value = jnp.asarray(rng.randn(B, s, H, D), jnp.float32)
+    off = jnp.asarray(rng.randn(B, s, H, len(shapes), P, 2) * 0.6 + 0.123, jnp.float32)
+    att = jnp.asarray(rng.rand(B, s, H, len(shapes), P), jnp.float32)
+    g = jnp.asarray(rng.randn(B, s, H * D), jnp.float32)
     base = ms_deform_attn_window_pallas_bwd(
-        value, SHAPES, off, att, g, radius=RADIUS, interpret=True
+        value, shapes, off, att, g, radius=RADIUS, interpret=True
     )
     orig = bwd.BWD_VP
     try:
         bwd.BWD_VP = not orig
         got = ms_deform_attn_window_pallas_bwd(
-            value, SHAPES, off, att, g, radius=RADIUS, interpret=True
+            value, shapes, off, att, g, radius=RADIUS, interpret=True
         )
     finally:
         bwd.BWD_VP = orig

@@ -8,7 +8,11 @@ so the oracle is built from torch primitives with the exact same layout."""
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.slow
+# heavy tier (round 5): torch-oracle RELEASE gate — runs in `-m heavy`
+# alongside the e2e train loops. The slow tier keeps the pure-JAX
+# kernel/model guards that protect day-to-day edits; these parity
+# suites re-run whenever modeling code ships.
+pytestmark = [pytest.mark.slow, pytest.mark.heavy]
 
 
 def _build_torch_resnet50(torch):

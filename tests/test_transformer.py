@@ -98,10 +98,13 @@ def test_transformer_vl_fusion(rng):
     assert np.isfinite(np.asarray(out["text"])).all()
 
 
+@pytest.mark.heavy
 def test_vl_fusion_remat_grads_match(rng):
     """use_act_checkpoint wraps the VL fusion block in nn.remat (round 5 —
     the flagship OOMed HBM with six layers of bi-attention temps live).
-    Gradients through the remat encoder must equal the plain encoder's."""
+    Gradients through the remat encoder must equal the plain encoder's.
+    Heavy tier alongside test_remat_policy_grads_match (same rationale:
+    training-only remat path, trace-heavy)."""
     from ape_tpu.ops.msda import level_start_index
 
     def build(remat):
