@@ -119,3 +119,31 @@ def test_warns_without_weights(caplog):
 def test_rejects_oversized_table():
     with pytest.raises(ValueError):
         make_crit(4, use_fed_loss=True, fed_loss_cls_weights=np.ones(8, np.float32))
+
+
+def test_bf16_outputs_lose_nothing():
+    """Round 5: models may run bf16 compute (the train bench's AMP-equivalent
+    default); the criterion casts bf16 outputs to f32 before any loss math,
+    so losses are f32 and match the f32-input values bit-for-bit."""
+    rng = np.random.RandomState(0)
+    crit = make_crit(4, use_stage2=False, losses=("class", "boxes"))
+    out32 = {
+        "pred_logits": jnp.asarray(rng.randn(1, 8, 4), jnp.float32),
+        "pred_boxes": jnp.asarray(rng.uniform(0.2, 0.7, (1, 8, 4)), jnp.float32),
+    }
+    out16 = jax.tree.map(lambda x: x.astype(jnp.bfloat16), out32)
+    targets = {
+        "labels": jnp.asarray([[0, 1, 2, 3]], jnp.int32),
+        "boxes": jnp.asarray(rng.uniform(0.3, 0.6, (1, 4, 4)), jnp.float32),
+        "valid": jnp.asarray([[True, True, True, False]]),
+    }
+    l32 = crit(
+        jax.random.PRNGKey(0),
+        jax.tree.map(lambda x: x.astype(jnp.bfloat16).astype(jnp.float32), out32),
+        targets,
+        jnp.asarray(3.0),
+    )
+    l16 = crit(jax.random.PRNGKey(0), out16, targets, jnp.asarray(3.0))
+    for k in l32:
+        assert l16[k].dtype == jnp.float32, k
+        np.testing.assert_array_equal(np.asarray(l32[k]), np.asarray(l16[k]), err_msg=k)
