@@ -16,7 +16,10 @@ import numpy as np
 
 H, P, D = 8, 4, 32
 RADIUS = 4
-SHAPES = ((256, 256), (128, 128), (64, 64), (32, 32), (16, 16))
+_LEVELS = [
+    int(x) for x in os.environ.get("LEVELS", "256,128,64,32,16").split(",")
+]
+SHAPES = tuple((l, l) for l in _LEVELS)
 
 
 def time_op(fn, chains=(2, 8), reps=3):
