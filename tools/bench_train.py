@@ -86,8 +86,18 @@ def main():
     tx = optax.chain(optax.clip_by_global_norm(0.1), optax.adamw(2e-4))
     state = create_train_state(params, tx)
     key = jax.random.PRNGKey(0)
+    # BENCH_ITER_SIZE>1 exercises the reference's grad-accumulation recipe
+    # (flagship trains iter_size=4); the batch is replicated per microstep so
+    # img/s counts BATCH * ITER_SIZE images per step
+    iter_size = int(os.environ.get("BENCH_ITER_SIZE", 1))
+    if iter_size > 1:
+        # leading batch dim must be iter_size * micro (train_step.py contract)
+        batch = jax.tree.map(
+            lambda x: jnp.concatenate([x] * iter_size, axis=0), batch
+        )
     step, cost = aot_compile_with_cost(
-        make_train_step(model, crit, tx), state, batch, key, donate_argnums=(0,)
+        make_train_step(model, crit, tx, iter_size=iter_size),
+        state, batch, key, donate_argnums=(0,),
     )
     state, m = step(state, batch, key)
     print("first step loss:", float(m["total_loss"]), flush=True)
@@ -97,10 +107,11 @@ def main():
         state, m = step(state, batch, key)
     _ = float(m["total_loss"])
     dt = (time.perf_counter() - t0) / ITERS
-    img_s = BATCH / dt
+    img_s = BATCH * iter_size / dt
     line = {
         "metric": f"{'APE-L_D' if model_name == 'l_d' else 'APE-Ti'} training "
-        f"images/sec/chip @ {IMG}x{IMG} batch {BATCH}",
+        f"images/sec/chip @ {IMG}x{IMG} batch {BATCH}"
+        + (f" x iter_size {iter_size}" if iter_size > 1 else ""),
         "value": round(img_s, 3), "unit": "img/s",
         "s_per_step": round(dt, 3),
         "vs_baseline": round(img_s / A100_TRAIN_EST_IMG_S, 3),
@@ -108,9 +119,9 @@ def main():
         + ("+realistic-offsets" if realistic else "+tiny-offsets")
         + f"+{DTYPE}",
     }
-    line.update(mfu_fields(cost, img_s, batch=BATCH))
+    line.update(mfu_fields(cost, img_s, batch=BATCH * iter_size))
     print(json.dumps(line))
-    if IMG == 1024 and realistic:
+    if IMG == 1024 and realistic and iter_size == 1:
         try:
             sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
             import bench
@@ -122,7 +133,7 @@ def main():
                     "vs_baseline": round(img_s / A100_TRAIN_EST_IMG_S, 3),
                     "protocol": line["protocol"],
                     "baseline_img_per_s": A100_TRAIN_EST_IMG_S,
-                    **mfu_fields(cost, img_s, batch=BATCH),
+                    **mfu_fields(cost, img_s, batch=BATCH * iter_size),
                 },
             )
         except Exception as e:
